@@ -1,0 +1,315 @@
+"""Driver-contract query registry.
+
+Every implemented operator from SURVEY.md §2 appears here twice: a
+PySpark callable ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) an equivalent DuckDB SQL string. Column names/types
+are aligned pairwise; floats are quantized with round(...,6) on BOTH
+sides so the driver's order-insensitive value-hash is stable.
+
+``__spark_entry__.py`` re-exports these as queries()/oracle_sql().
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import DEFAULT_CONFIG
+from .functions.analyze import duckdb_tokens_expr, tokens_col
+from .operators import bm25, postings as P
+from .queryset import DEFAULT_K, REFERENCE_QUERIES, queries_sql_values
+from .sources import load_table
+
+CFG = DEFAULT_CONFIG
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# shared DuckDB CTE fragments (tokenizer contract identical to Spark's)
+_DUCK_TOKS = f"""
+toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term
+  FROM documents
+)"""
+_DUCK_POSTINGS = """
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM toks GROUP BY term, doc_id
+)"""
+_DUCK_DSTATS = f"""
+dstats AS (
+  SELECT doc_id, CAST(len({duckdb_tokens_expr('text')}) AS INT) AS doclen FROM documents
+)"""
+
+
+# ---------------------------------------------------------------------------
+# inverted-index logical layer (SURVEY E1/E2/E8 prerequisites)
+
+def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize -> posexplode -> tf (SURVEY §2.C 'posting explode')."""
+    return P.build_postings(_docs(spark, sf_dir))
+
+
+SQL_POSTINGS_TF = f"WITH {_DUCK_TOKS}, {_DUCK_POSTINGS} SELECT term, doc_id, tf FROM postings"
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.doc_stats(_docs(spark, sf_dir))
+
+
+SQL_DOC_STATS = f"WITH {_DUCK_DSTATS} SELECT doc_id, doclen FROM dstats"
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.term_stats(P.build_postings(_docs(spark, sf_dir)))
+
+
+SQL_TERM_STATS = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}
+SELECT term, count(*) AS df FROM postings GROUP BY term
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = P.doc_stats(_docs(spark, sf_dir))
+    return ds.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doclen"), 6).alias("avgdl"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {_DUCK_DSTATS}
+SELECT count(*) AS n_docs, round(CAST(sum(doclen) AS DOUBLE)/count(*), 6) AS avgdl FROM dstats
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k, naive relational path (SURVEY E7/E8)
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
+
+
+def _sql_bm25(k: int = DEFAULT_K) -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
+# ---------------------------------------------------------------------------
+# layer-1 pipeline parity over `events` (reference dataflow analogs)
+
+def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-shard routing (E4; core/Processing.scala:162-171 analog):
+    events grouped by their target shard suffix."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SHARD_ROUTING = """
+SELECT strftime(ts, '%Y-%m-%d') AS shard, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting/sum/min aggregations (S7/S8 analogs) by event type."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("earliest_ts"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS earliest_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_badrow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good/bad split semantics (S3/S11, E5 analogs): per-row invariant
+    classification, counted per class — never failing the batch."""
+    ev = load_table(spark, sf_dir, "events")
+    cls = (
+        F.when(F.get_json_object("props", "$.k").isNull(), F.lit("bad_json"))
+        .when(F.col("value") < 0, F.lit("bad_value"))
+        .otherwise(F.lit("good"))
+    )
+    return ev.select(cls.alias("row_class")).groupBy("row_class").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_BADROW_SPLIT = """
+SELECT CASE
+         WHEN json_extract(props, '$.k') IS NULL THEN 'bad_json'
+         WHEN value < 0 THEN 'bad_value'
+         ELSE 'good'
+       END AS row_class,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational capability demos (join strategy: broadcast dims, window top-k)
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter pushdown + hash agg."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k; dimension sides broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "n_name", "total_spent", "n_orders")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         round(sum(o_totalprice), 6) AS total_spent,
+         count(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT CAST(row_number() OVER (ORDER BY total_spent DESC, c_custkey ASC) AS INT) AS rank,
+       c_custkey, c_name, n_name, total_spent, n_orders
+FROM agg
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_postings_tf": q_postings_tf,
+    "q_doc_stats": q_doc_stats,
+    "q_term_stats": q_term_stats,
+    "q_corpus_stats": q_corpus_stats,
+    "q_bm25_topk": q_bm25_topk,
+    "q_shard_routing": q_shard_routing,
+    "q_events_rollup": q_events_rollup,
+    "q_badrow_split": q_badrow_split,
+    "q_lineitem_pricing": q_lineitem_pricing,
+    "q_top_customers": q_top_customers,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q_postings_tf": SQL_POSTINGS_TF,
+    "q_doc_stats": SQL_DOC_STATS,
+    "q_term_stats": SQL_TERM_STATS,
+    "q_corpus_stats": SQL_CORPUS_STATS,
+    "q_bm25_topk": SQL_BM25_TOPK,
+    "q_shard_routing": SQL_SHARD_ROUTING,
+    "q_events_rollup": SQL_EVENTS_ROLLUP,
+    "q_badrow_split": SQL_BADROW_SPLIT,
+    "q_lineitem_pricing": SQL_LINEITEM_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+}

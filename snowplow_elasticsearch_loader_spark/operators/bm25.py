@@ -1,0 +1,159 @@
+"""BM25 top-k retrieval — the relational ("naive") path (SURVEY E7/E8).
+
+The reference's only query surface is ES ``_search``
+(it/TestHelpers.scala:157-201); scoring is delegated to Lucene's
+BM25Similarity. We own it: the public Lucene formula with k1=1.2,
+b=0.75 (BASELINE.json):
+
+    idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q,d) = sum_t qtf_t * idf(t) * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+Determinism contract (SURVEY §7-hard #1/#5), shared by this path, the
+block-max WAND fast path, and the numpy oracle:
+
+- idf/avgdl are computed ONCE driver-side in float64 and injected as
+  literals, so JVM and numpy paths consume bit-identical constants;
+- per-doc accumulation sums contributions in ascending-term order via
+  ``F.aggregate`` over a sorted array — bit-exact at any parallelism;
+- ranking quantizes scores to 1e-6 (ties then break on doc_id asc),
+  the same contract the DuckDB oracle implements.
+
+Plan shape: query terms are a tiny literal table -> ``F.broadcast``
+joined against postings (map-side, no shuffle of the big side), then a
+doc_id join against docstats (AQE-handled), one hash aggregation per
+(query_id, doc_id), and a per-query window top-k.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.analyze import tokenize_text
+
+QTERMS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("w", T.DoubleType()),  # qtf * idf, float64, driver-computed
+    ]
+)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def analyze_queries(queries: Iterable[tuple[str, str]]) -> list[tuple[str, str, int]]:
+    """(query_id, term, qtf) rows. Duplicate query terms keep Lucene
+    semantics: the clause repeats, so its weight multiplies by qtf."""
+    out: list[tuple[str, str, int]] = []
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in tokenize_text(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        out.extend((qid, t, c) for t, c in sorted(counts.items()))
+    return out
+
+
+def query_term_weights(
+    spark: SparkSession,
+    queries: Sequence[tuple[str, str]],
+    term_df: Mapping[str, int],
+    n_docs: int,
+) -> DataFrame:
+    """Literal (query_id, term, w) table; terms absent from the corpus
+    are dropped (they contribute 0 to every doc, like ES)."""
+    rows = [
+        (qid, term, float(qtf) * idf(n_docs, term_df[term]))
+        for qid, term, qtf in analyze_queries(queries)
+        if term in term_df
+    ]
+    return spark.createDataFrame(rows, schema=QTERMS_SCHEMA)
+
+
+def collect_query_term_stats(
+    term_stats: DataFrame, queries: Sequence[tuple[str, str]]
+) -> dict[str, int]:
+    terms = sorted({t for _, t, _ in analyze_queries(queries)})
+    rows = term_stats.filter(F.col("term").isin(terms)).collect()
+    return {r["term"]: r["df"] for r in rows}
+
+
+def score_candidates(
+    postings: DataFrame,
+    docstats: DataFrame,
+    qterms: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(query_id, doc_id, score) with order-fixed float64 accumulation."""
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    cand = postings.join(F.broadcast(qterms), "term").join(docstats, "doc_id")
+    # contribution, computed with the exact expression-tree the WAND
+    # UDF uses (w * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)))
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = cand.select("query_id", "doc_id", F.col("term"), contrib.alias("contrib"))
+    # fixed accumulation order: sort contributions by term, fold left
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate(
+                "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+            ).alias("score"),
+        )
+    )
+
+
+def topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k under the quantized-score contract."""
+    score_r = F.round(F.col("score"), 6).alias("score")
+    ranked = scored.select("query_id", "doc_id", score_r).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "doc_id", "score")
+
+
+def bm25_topk_naive(
+    postings: DataFrame,
+    docstats: DataFrame,
+    term_stats: DataFrame,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    corpus: tuple[int, float] | None = None,
+) -> DataFrame:
+    """End-to-end naive path. ``corpus`` = (n_docs, avgdl) if already
+    known (avoids one job); otherwise computed from docstats."""
+    spark = postings.sparkSession
+    if corpus is None:
+        row = docstats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+        ).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    else:
+        n_docs, avgdl = corpus
+    tdf = collect_query_term_stats(term_stats, queries)
+    qterms = query_term_weights(spark, queries, tdf, n_docs)
+    scored = score_candidates(postings, docstats, qterms, avgdl, cfg)
+    return topk(scored, k)

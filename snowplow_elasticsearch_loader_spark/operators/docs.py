@@ -1,0 +1,191 @@
+"""Document preparation: the reference's parse/transform/dead-letter
+stage re-expressed relationally.
+
+Reference dataflow being mirrored (SURVEY S3/S5/S11/S13, E3/E5/E6):
+
+- good/bad split after transform — ``traverseSeparateUnordered`` at
+  core/Processing.scala:103-105 becomes two complementary ``filter``s
+  over one validated DataFrame (computed once, split lazily; Catalyst
+  shares the scan).
+- per-row rejection instead of batch failure — ES mapping errors
+  (core/ElasticsearchSink.scala:35-39) become row-level invariant
+  checks routed to ``_badrows`` with a payload echo (base64, like
+  core/Processing.scala:206-207) and an error string.
+- field-count limit (it/TestHelpers.scala:218; metric
+  core/ElasticsearchSink.scala:162-164) becomes a token-count cap.
+- doc-id idempotency — ES upsert by event_id
+  (core/ElasticsearchSink.scala:92) becomes dedup on the natural key
+  ``(conv_id, turn_idx)`` plus a **deterministic dense doc_id**.
+
+Deterministic doc ids (SURVEY §7-hard #2): ``monotonically_increasing_id``
+is partition-dependent, and a global ``row_number()`` window is a
+single-partition bottleneck at 10^12 rows. We use the scalable two-pass
+pattern: range-repartition by the natural key, sort within partitions,
+count rows per partition (one tiny job), then assign
+``offset[pid] + local_rank`` inside ``mapInPandas`` — identical output
+at any parallelism level, no global shuffle to one task.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.analyze import tokens_col
+
+BADROW_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_b64", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("shard_date", T.DateType()),
+    ]
+)
+
+
+class PreparedDocs(NamedTuple):
+    docs: DataFrame
+    badrows: DataFrame
+
+
+def _error_col(cfg: EngineConfig) -> Column:
+    """First failed invariant, or NULL when the row is indexable.
+
+    Order mirrors the reference's taxonomy: parse error, then mapping
+    (type) error, then limit error (core/ElasticsearchSink.scala:35-39,
+    195-198).
+    """
+    ntokens = F.size(tokens_col("text"))
+    return (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), F.lit("null_key"))
+        .when(
+            F.octet_length("text") > cfg.limits.max_text_bytes,
+            F.lit(f"size_violation: text bytes > {cfg.limits.max_text_bytes}"),
+        )
+        .when(
+            ntokens > cfg.limits.max_tokens_per_turn,
+            F.lit(f"limit_error: Limit of tokens [{cfg.limits.max_tokens_per_turn}] has been exceeded"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def split_good_bad(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> PreparedDocs:
+    """Validate and split. Returns (good transcripts, badrows table)."""
+    checked = transcripts.withColumn("_error", _error_col(cfg))
+    good = checked.filter(F.col("_error").isNull()).drop("_error")
+    # payload echo trimmed to maxSize/10 like BadRowsSerializer.scala:32-40
+    trim = cfg.limits.max_text_bytes // 10
+    bad = checked.filter(F.col("_error").isNotNull()).select(
+        F.base64(
+            F.to_binary(
+                F.concat_ws(
+                    "\t",
+                    F.coalesce(F.col("conv_id"), F.lit("")),
+                    F.coalesce(F.col("turn_idx").cast("string"), F.lit("")),
+                    F.substring(F.coalesce(F.col("text"), F.lit("")), 1, trim),
+                ),
+                F.lit("utf-8"),
+            )
+        ).alias("payload_b64"),
+        F.col("_error").alias("error"),
+        F.lit("prepare_documents").alias("stage"),
+        F.col("ts").alias("ts"),
+    )
+    return PreparedDocs(good, bad)
+
+
+def dedup_turns(transcripts: DataFrame) -> DataFrame:
+    """Idempotent indexing on the natural key (E3 analog).
+
+    Keep the earliest-ts row per (conv_id, turn_idx); deterministic
+    tiebreak on text so re-runs and re-deliveries converge.
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("text")
+    )
+    return (
+        transcripts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assign_doc_ids(transcripts: DataFrame, num_ranges: int | None = None) -> DataFrame:
+    """Dense doc_id = global rank over (conv_id, turn_idx); two-pass,
+    parallelism-independent (no single-task global window)."""
+    spark = transcripts.sparkSession
+    if num_ranges is None:
+        num_ranges = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = transcripts.repartitionByRange(
+        num_ranges, "conv_id", "turn_idx"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    ranged = ranged.cache()
+    counts = (
+        ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+    out_schema = T.StructType(ranged.schema.fields + [T.StructField("doc_id", T.LongType())])
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = boff.value.get(pid, 0) + seen + pd.RangeIndex(len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(add_ids, schema=out_schema)
+
+
+def prepare_documents(
+    transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> PreparedDocs:
+    """Full doc-prep pipeline: split -> dedup -> doc ids -> shard date.
+
+    The shard_date column is the analog of the reference's date-sharded
+    index routing (core/Processing.scala:162-171, it/ShardingSpec.scala)
+    — downstream tables partition on it, query side prunes on it.
+    """
+    good, bad = split_good_bad(transcripts, cfg)
+    good = dedup_turns(good)
+    with_ids = assign_doc_ids(good)
+    docs = with_ids.select(
+        "doc_id",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
+    )
+    return PreparedDocs(docs, bad)
