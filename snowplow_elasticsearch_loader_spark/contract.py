@@ -145,6 +145,52 @@ SQL_BM25_TOPK = _sql_bm25()
 
 
 # ---------------------------------------------------------------------------
+# physical index: compressed blocks + block-max WAND (SURVEY M2/M3)
+# Both queries run over the REAL persisted index (built on demand into a
+# temp dir, memoized per sf_dir) and share the relational oracles — the
+# decode/rank-identity invariants checked by an independent engine.
+
+_IDX_CFG = None
+_IDX_CACHE: dict[str, object] = {}
+
+
+def _physical_index(spark: SparkSession, sf_dir: str):
+    global _IDX_CFG
+    import tempfile
+
+    from .config import EngineConfig, IndexConfig
+    from .index_store import build_blocks_only
+
+    if _IDX_CFG is None:
+        _IDX_CFG = EngineConfig(
+            index=IndexConfig(block_size=64, docs_per_range=1000, term_buckets=16)
+        )
+    key = sf_dir
+    if key not in _IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="engine-contract-idx-")
+        _IDX_CACHE[key] = build_blocks_only(spark, _docs(spark, sf_dir), path, _IDX_CFG)
+    return _IDX_CACHE[key]
+
+
+def q_postings_blocks_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the delta-gap+varint blocks back to logical postings; the
+    oracle is the same SQL as q_postings_tf (M2 invariant)."""
+    idx = _physical_index(spark, sf_dir)
+    return idx.postings().select("term", "doc_id", "tf")
+
+
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over compressed blocks; oracle identical to the
+    naive relational BM25 (M3 rank-identity invariant)."""
+    from .operators import wand
+
+    idx = _physical_index(spark, sf_dir)
+    return wand.wand_topk(
+        idx.blocks, idx.termdict, idx.corpus(), REFERENCE_QUERIES, k=DEFAULT_K, cfg=_IDX_CFG
+    )
+
+
+# ---------------------------------------------------------------------------
 # layer-1 pipeline parity over `events` (reference dataflow analogs)
 
 def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +340,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_stats": q_term_stats,
     "q_corpus_stats": q_corpus_stats,
     "q_bm25_topk": q_bm25_topk,
+    "q_postings_blocks_decode": q_postings_blocks_decode,
+    "q_bm25_topk_wand": q_bm25_topk_wand,
     "q_shard_routing": q_shard_routing,
     "q_events_rollup": q_events_rollup,
     "q_badrow_split": q_badrow_split,
@@ -307,6 +355,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_term_stats": SQL_TERM_STATS,
     "q_corpus_stats": SQL_CORPUS_STATS,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_postings_blocks_decode": SQL_POSTINGS_TF,
+    "q_bm25_topk_wand": SQL_BM25_TOPK,
     "q_shard_routing": SQL_SHARD_ROUTING,
     "q_events_rollup": SQL_EVENTS_ROLLUP,
     "q_badrow_split": SQL_BADROW_SPLIT,

@@ -1,0 +1,293 @@
+"""Persisted index layout + resumable build orchestration.
+
+Checkpoint-after-durable-write, the ordering guarantee the reference
+enforces (ack tokens emitted only after the ES write + metrics + bad
+rows succeed, core/Processing.scala:80-84, asserted
+coretest/ProcessingSpec.scala:70-79): a ``_checkpoints`` row for a
+range batch is appended only after that batch's posting blocks are
+committed. Re-runs anti-join against ``_checkpoints`` and redo only
+missing ranges; per-range output is idempotent (dynamic partition
+overwrite), so at-least-once re-execution converges — the analog of
+ES doc-id upsert idempotency (core/ElasticsearchSink.scala:92).
+
+Layout under ``<path>/``:
+
+    documents/        partitioned by shard_date   (doc store)
+    blocks/           partitioned by term_bucket, range_id
+    termdict/         (term, term_bucket, df, block_count, max_score_partial)
+    docstats/         (doc_id, doclen)
+    corpus/           singleton (n_docs, avgdl)
+    _badrows/         dead-letter (payload_b64, error, stage, ts)
+    _checkpoints/     (stage, partition_id, status, turns, postings_emitted,
+                       bytes_merged, terms_finalized, started_ts, finished_ts)
+    _metrics/         free-form counter rows (name, value, stage, ts)
+
+The metric names (postings_emitted, bytes_merged, terms_finalized) are
+the north_star lineage contract; events_good/events_bad mirror the
+reference's counters (core/Metrics.scala:40-45).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .shipping import ensure_shipped
+from .operators import index_build
+from .operators.docs import prepare_documents
+from .operators.postings import doc_stats
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType()),
+        T.StructField("partition_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("turns", T.LongType()),
+        T.StructField("postings_emitted", T.LongType()),
+        T.StructField("bytes_merged", T.LongType()),
+        T.StructField("terms_finalized", T.LongType()),
+        T.StructField("started_ts", T.DoubleType()),
+        T.StructField("finished_ts", T.DoubleType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over a persisted index directory."""
+
+    spark: SparkSession
+    path: str
+    cfg: EngineConfig
+
+    def _t(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, name))
+
+    @property
+    def documents(self) -> DataFrame:
+        return self._t("documents")
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self._t("blocks")
+
+    @property
+    def termdict(self) -> DataFrame:
+        return self._t("termdict")
+
+    @property
+    def docstats(self) -> DataFrame:
+        return self._t("docstats")
+
+    def corpus(self) -> tuple[int, float]:
+        row = self._t("corpus").collect()[0]
+        return int(row["n_docs"]), float(row["avgdl"])
+
+    @property
+    def badrows(self) -> DataFrame:
+        return self._t("_badrows")
+
+    @property
+    def checkpoints(self) -> DataFrame:
+        return self._t("_checkpoints")
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self._t("_metrics")
+
+    def postings(self) -> DataFrame:
+        """Decoded logical postings view (M2 invariant surface)."""
+        return index_build.decode_blocks(self.blocks)
+
+
+def _append(spark: SparkSession, path: str, rows: list, schema: T.StructType) -> None:
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _done_partitions(spark: SparkSession, path: str, stage: str) -> set[int]:
+    cp = os.path.join(path, "_checkpoints")
+    try:
+        df = spark.read.parquet(cp)
+    except Exception:
+        return set()
+    rows = df.filter((F.col("stage") == stage) & (F.col("status") == "done")).select(
+        "partition_id"
+    ).collect()
+    return {int(r["partition_id"]) for r in rows}
+
+
+def build_blocks_only(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> InvertedIndex:
+    """Index a table that ALREADY has (doc_id, text) — no doc-prep stage
+    (used when the doc store exists, e.g. the driver's `documents`)."""
+    ensure_shipped(spark)
+    cfg.validate()
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        os.path.join(path, "documents")
+    )
+    idx = InvertedIndex(spark, path, cfg)
+    ds = doc_stats(idx.documents)
+    ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+    idx.docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    _, avgdl = idx.corpus()
+    index_build.build_blocks_df(idx.documents, avgdl, cfg).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket", "range_id").parquet(os.path.join(path, "blocks"))
+    index_build.termdict_from_blocks(idx.blocks).write.mode("overwrite").parquet(
+        os.path.join(path, "termdict")
+    )
+    return idx
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    ranges_per_batch: int | None = None,
+    fail_after_batches: int | None = None,
+) -> InvertedIndex:
+    """Build (or resume) the full index at ``path``.
+
+    ``ranges_per_batch`` bounds how many doc ranges one committed batch
+    covers (None = all remaining in one job). ``fail_after_batches`` is
+    a test hook that aborts mid-build to exercise resume.
+    """
+    ensure_shipped(spark)
+    cfg.validate()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs_path = os.path.join(path, "documents")
+
+    # ---- stage 0: document prep (good/bad split, dedup, doc ids) ----
+    if 0 not in _done_partitions(spark, path, "documents"):
+        t0 = time.time()
+        docs, bad = prepare_documents(transcripts, cfg)
+        docs.write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
+        bad.write.mode("overwrite").parquet(os.path.join(path, "_badrows"))
+        docs_w = spark.read.parquet(docs_path)
+        n_good = docs_w.count()
+        n_bad = spark.read.parquet(os.path.join(path, "_badrows")).count()
+        ds = doc_stats(docs_w)
+        ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+        ds_w = spark.read.parquet(os.path.join(path, "docstats"))
+        ds_w.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+        _append(
+            spark,
+            os.path.join(path, "_metrics"),
+            [("events_good", n_good, "documents", time.time()),
+             ("events_bad", n_bad, "documents", time.time())],
+            METRICS_SCHEMA,
+        )
+        _append(
+            spark,
+            os.path.join(path, "_checkpoints"),
+            [("documents", 0, "done", n_good, 0, 0, 0, t0, time.time())],
+            CHECKPOINT_SCHEMA,
+        )
+
+    idx = InvertedIndex(spark, path, cfg)
+    n_docs, avgdl = idx.corpus()
+
+    # ---- stage 1: posting blocks per doc-range batch (resumable) ----
+    all_ranges = list(range((max(n_docs - 1, 0) // cfg.index.docs_per_range) + 1))
+    done = _done_partitions(spark, path, "range_batch")
+    todo = [r for r in all_ranges if r not in done]
+    if ranges_per_batch is None:
+        ranges_per_batch = len(todo) or 1
+    batches = [
+        todo[i : i + ranges_per_batch] for i in range(0, len(todo), ranges_per_batch)
+    ]
+    blocks_path = os.path.join(path, "blocks")
+    for bi, batch in enumerate(batches):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            raise RuntimeError(f"injected failure before batch {bi} (test hook)")
+        t0 = time.time()
+        lo = min(batch) * cfg.index.docs_per_range
+        hi = (max(batch) + 1) * cfg.index.docs_per_range
+        docs_batch = idx.documents.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        blocks = index_build.build_blocks_df(docs_batch, avgdl, cfg)
+        # idempotent per-partition commit: dynamic overwrite replaces only
+        # the (term_bucket, range_id) partitions this batch produced
+        blocks.write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
+            blocks_path
+        )
+        written = spark.read.parquet(blocks_path).filter(F.col("range_id").isin(batch))
+        stats = written.agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0)).alias("postings"),
+            F.coalesce(
+                F.sum(
+                    F.octet_length("docs_varint")
+                    + F.octet_length("tfs_varint")
+                    + F.octet_length("dls_varint")
+                ),
+                F.lit(0),
+            ).alias("bytes"),
+            F.count_distinct(F.col("term")).alias("terms"),
+            F.coalesce(F.sum(F.lit(1)), F.lit(0)).alias("blocks"),
+        ).collect()[0]
+        rows = [
+            (
+                "range_batch",
+                int(r),
+                "done",
+                0,
+                int(stats["postings"]),
+                int(stats["bytes"]),
+                int(stats["terms"]),
+                t0,
+                time.time(),
+            )
+            for r in batch
+        ]
+        _append(spark, os.path.join(path, "_checkpoints"), rows, CHECKPOINT_SCHEMA)
+        _append(
+            spark,
+            os.path.join(path, "_metrics"),
+            [
+                ("postings_emitted", int(stats["postings"]), f"range_batch[{bi}]", time.time()),
+                ("bytes_merged", int(stats["bytes"]), f"range_batch[{bi}]", time.time()),
+                ("terms_finalized", int(stats["terms"]), f"range_batch[{bi}]", time.time()),
+            ],
+            METRICS_SCHEMA,
+        )
+
+    # ---- stage 2: finalize termdict ----
+    if 0 not in _done_partitions(spark, path, "finalize"):
+        t0 = time.time()
+        td = index_build.termdict_from_blocks(idx.blocks)
+        td.write.mode("overwrite").parquet(os.path.join(path, "termdict"))
+        n_terms = idx.termdict.count()
+        _append(
+            spark,
+            os.path.join(path, "_checkpoints"),
+            [("finalize", 0, "done", 0, 0, 0, n_terms, t0, time.time())],
+            CHECKPOINT_SCHEMA,
+        )
+    return idx

@@ -131,39 +131,84 @@ def dedup_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(transcripts: DataFrame, num_ranges: int | None = None) -> DataFrame:
-    """Dense doc_id = global rank over (conv_id, turn_idx); two-pass,
-    parallelism-independent (no single-task global window)."""
+def _rank_key_col() -> Column:
+    """(conv_id, turn_idx) as one lexicographically-sortable string:
+    conv_id + NUL + zero-padded turn_idx."""
+    return F.concat_ws(
+        "\x00", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 10, "0")
+    )
+
+
+def assign_doc_ids(
+    transcripts: DataFrame, num_ranges: int | None = None, seed: int = 42
+) -> DataFrame:
+    """Dense doc_id = global rank over (conv_id, turn_idx).
+
+    Scalable two-pass pattern with *explicit* range boundaries:
+    ``repartitionByRange`` is NOT used because its boundary sampling is
+    re-drawn per execution — two jobs over the same plan (the
+    offsets-count and the id-assign pass) can see different partition
+    contents unless a cache happens to hold. Instead we:
+
+    1. sample keys once, collect boundaries driver-side (deterministic
+       for the life of this call; ranks are invariant to the boundary
+       choice anyway);
+    2. bucket rows by value (vectorized searchsorted against the
+       broadcast boundaries) — bucket identity lives in the DATA, so
+       any recomputation agrees;
+    3. count rows per bucket -> cumulative offsets (tiny collect);
+    4. per-bucket grouped map: sort by key, doc_id = offset + position.
+
+    No global single-partition window; every pass is fully parallel.
+    Output is identical at any parallelism level.
+    """
+    import numpy as np
+
     spark = transcripts.sparkSession
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = transcripts.repartitionByRange(
-        num_ranges, "conv_id", "turn_idx"
-    ).sortWithinPartitions("conv_id", "turn_idx")
-    ranged = ranged.cache()
-    counts = (
-        ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
+    df = transcripts.withColumn("_key", _rank_key_col())
+    n = df.count()
+    if n == 0:
+        return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
+    frac = min(1.0, (40.0 * num_ranges) / float(n))
+    sample = sorted(r["_key"] for r in df.select("_key").sample(frac, seed=seed).collect())
+    cuts = sorted(
+        {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
+    ) if sample else []
+    boundaries = np.array(cuts, dtype=object)
+    bcast = spark.sparkContext.broadcast(boundaries)
+
+    @F.pandas_udf("int")
+    def bucket_of(keys: pd.Series) -> pd.Series:
+        b = bcast.value
+        if b.size == 0:
+            return pd.Series(np.zeros(len(keys), dtype=np.int32))
+        return pd.Series(
+            np.searchsorted(b, keys.to_numpy(dtype=object), side="right").astype(np.int32)
+        )
+
+    bucketed = df.withColumn("_bucket", bucket_of(F.col("_key")))
+    counts = bucketed.groupBy("_bucket").count().collect()
     offsets: dict[int, int] = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
+    for row in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[int(row["_bucket"])] = acc
         acc += row["count"]
-    out_schema = T.StructType(ranged.schema.fields + [T.StructField("doc_id", T.LongType())])
     boff = spark.sparkContext.broadcast(offsets)
 
-    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+    base_fields = [f for f in transcripts.schema.fields]
+    out_schema = T.StructType(base_fields + [T.StructField("doc_id", T.LongType())])
+    base_cols = [f.name for f in base_fields]
 
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["doc_id"] = boff.value.get(pid, 0) + seen + pd.RangeIndex(len(pdf))
-            seen += len(pdf)
-            yield pdf
+    def rank_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        pdf = pdf.sort_values("_key", kind="mergesort").reset_index(drop=True)
+        out = pdf[base_cols].copy()
+        out["doc_id"] = boff.value.get(bucket, 0) + np.arange(len(pdf), dtype=np.int64)
+        return out
 
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+    return bucketed.groupBy("_bucket").applyInPandas(rank_bucket, schema=out_schema)
 
 
 def prepare_documents(

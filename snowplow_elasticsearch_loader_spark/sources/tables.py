@@ -27,6 +27,9 @@ def load_table(
     fmt: str = "parquet",
     snapshot_id: int | None = None,
 ) -> DataFrame:
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
     if fmt == "iceberg":
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:

@@ -1,0 +1,173 @@
+"""M2/M3 invariants (SURVEY §5.4 pipeline tier):
+
+- decoded compressed blocks == relational M1 postings, exactly;
+- block-max WAND top-k == naive SQL top-k == pure-numpy oracle;
+- resume-after-failure produces an identical index (idempotency);
+- doc-id assignment is parallelism-independent;
+- bad rows routed, metrics/checkpoints rows present with north_star names.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25 import OracleIndex
+from snowplow_elasticsearch_loader_spark.config import (
+    BM25Config,
+    EngineConfig,
+    IndexConfig,
+    LimitsConfig,
+)
+from snowplow_elasticsearch_loader_spark.index_store import build_index
+from snowplow_elasticsearch_loader_spark.operators import bm25, wand
+from snowplow_elasticsearch_loader_spark.operators.docs import assign_doc_ids
+from snowplow_elasticsearch_loader_spark.operators.postings import (
+    build_postings,
+    doc_stats,
+    term_stats,
+)
+from snowplow_elasticsearch_loader_spark.sources.transcripts import synth_transcripts
+
+CFG = EngineConfig(
+    index=IndexConfig(block_size=8, docs_per_range=256, term_buckets=8, max_run_postings=500),
+    limits=LimitsConfig(max_text_bytes=50_000, max_tokens_per_turn=5_000),
+)
+
+QUERIES = [
+    ("t-01", "error retry timeout"),
+    ("t-02", "the"),  # hot term
+    ("t-03", "tool call"),  # hot pair
+    ("t-04", "üöä 你好"),  # unicode
+    ("t-05", "agent plan agent"),  # duplicate term
+    ("t-06", "missingterm9999"),
+    ("t-07", "Spark LOADER elastic"),  # casing
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark):
+    d = tempfile.mkdtemp(prefix="engine-idx-")
+    tr = synth_transcripts(spark, n_convs=60, seed=42, partitions=6)
+    build_index(spark, tr, d, CFG)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, index_dir):
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+
+    return InvertedIndex(spark, index_dir, CFG)
+
+
+def test_decoded_blocks_equal_relational_postings(idx):
+    decoded = idx.postings().select("term", "doc_id", "tf")
+    relational = build_postings(idx.documents)
+    assert decoded.exceptAll(relational).count() == 0
+    assert relational.exceptAll(decoded).count() == 0
+    assert decoded.count() == relational.count() > 0
+
+
+def test_block_invariants(idx):
+    bad = idx.blocks.filter(
+        (F.col("doc_count") < 1)
+        | (F.col("doc_count") > CFG.index.block_size)
+        | (F.col("first_doc") > F.col("last_doc"))
+        | (F.col("max_score_partial") <= 0)
+    )
+    assert bad.count() == 0
+    # blocks of one term are doc-ordered by block_id
+    w = (
+        idx.blocks.groupBy("term", "range_id")
+        .agg(F.min("first_doc").alias("lo"), F.max("last_doc").alias("hi"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ranges"))
+    )
+    assert w.count() > 0
+
+
+def test_wand_equals_naive_and_oracle(spark, idx):
+    naive = bm25.bm25_topk_naive(
+        build_postings(idx.documents),
+        doc_stats(idx.documents),
+        term_stats(build_postings(idx.documents)),
+        QUERIES,
+        k=10,
+        cfg=CFG,
+    ).collect()
+    fast = wand.wand_topk(
+        idx.blocks, idx.termdict, idx.corpus(), QUERIES, k=10, cfg=CFG
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert key(naive) == key(fast), "fast path must be rank- and score-identical"
+
+    # vs the independent numpy oracle (atol 1e-6 by construction: both round to 6dp)
+    docs = [(r["doc_id"], r["text"]) for r in idx.documents.select("doc_id", "text").collect()]
+    oracle = OracleIndex(docs, k1=CFG.bm25.k1, b=CFG.bm25.b)
+    for qid, qtext in QUERIES:
+        expected = oracle.search(qtext, k=10)
+        got = sorted(
+            ((r["rank"], r["doc_id"], r["score"]) for r in naive if r["query_id"] == qid)
+        )
+        assert got == expected, f"{qid}: spark={got[:3]} oracle={expected[:3]}"
+
+
+def test_resume_after_failure_is_idempotent(spark, idx, index_dir):
+    d2 = tempfile.mkdtemp(prefix="engine-idx-resume-")
+    try:
+        tr = synth_transcripts(spark, n_convs=60, seed=42, partitions=6)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(spark, tr, d2, CFG, ranges_per_batch=1, fail_after_batches=1)
+        # resume: must complete and match the uninterrupted build exactly
+        idx2 = build_index(spark, tr, d2, CFG, ranges_per_batch=1)
+        a = idx.postings().select("term", "doc_id", "tf")
+        b = idx2.postings().select("term", "doc_id", "tf")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # checkpoint lineage rows exist with north_star metric names
+        names = {r["name"] for r in idx2.metrics.collect()}
+        assert {"postings_emitted", "bytes_merged", "terms_finalized"} <= names
+        stages = {r["stage"] for r in idx2.checkpoints.collect()}
+        assert {"documents", "range_batch", "finalize"} <= stages
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_badrows_routed(idx):
+    errors = [r["error"] for r in idx.badrows.collect()]
+    assert any("null_text" in e for e in errors)
+    # anomalies: the 12k-token turn exceeds max_tokens_per_turn=5000
+    assert any("limit_error" in e for e in errors)
+    # per-turn text equality under stable (conv_id, turn_idx) order:
+    # every good turn indexed exactly once
+    n_docs = idx.documents.count()
+    assert idx.documents.select("conv_id", "turn_idx").distinct().count() == n_docs
+
+
+def test_size_violation_routed(spark):
+    from snowplow_elasticsearch_loader_spark.operators.docs import split_good_bad
+
+    tiny = EngineConfig(limits=LimitsConfig(max_text_bytes=10, max_tokens_per_turn=100))
+    df = spark.createDataFrame(
+        [("c", 0, "user", "short", None, None), ("c", 1, "user", "x" * 50, None, None)],
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    good, bad = split_good_bad(df, tiny)
+    assert good.count() == 1
+    errs = [r["error"] for r in bad.collect()]
+    assert len(errs) == 1 and "size_violation" in errs[0]
+
+
+def test_doc_id_assignment_parallelism_independent(spark):
+    tr = synth_transcripts(spark, n_convs=30, seed=7, with_anomalies=False)
+    a = assign_doc_ids(tr.repartition(2), num_ranges=4)
+    b = assign_doc_ids(tr.repartition(11), num_ranges=9)
+    cols = ["conv_id", "turn_idx", "doc_id"]
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    # dense: ids are exactly 0..n-1
+    n = tr.count()
+    assert a.agg(F.min("doc_id"), F.max("doc_id")).collect()[0] == (0, n - 1)
+    assert a.select("doc_id").distinct().count() == n
