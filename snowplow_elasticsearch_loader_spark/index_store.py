@@ -33,7 +33,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,15 +187,24 @@ def build_index(
         docs.write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
         bad.write.mode("overwrite").parquet(os.path.join(path, "_badrows"))
         docs_w = spark.read.parquet(docs_path)
-        n_good = docs_w.count()
-        n_bad = spark.read.parquet(os.path.join(path, "_badrows")).count()
-        ds = doc_stats(docs_w)
-        ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-        ds_w = spark.read.parquet(os.path.join(path, "docstats"))
-        ds_w.agg(
+        # docstats write + corpus stats in one pass (Observation rides
+        # the write job — no read-back aggregation job)
+        obs = Observation("docstats")
+        ds = doc_stats(docs_w).observe(
+            obs,
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            F.sum("doclen").alias("sum_dl"),
+        )
+        ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+        n_good = int(obs.get["n_docs"])
+        avgdl = float(obs.get["sum_dl"]) / float(n_good) if n_good else 0.0
+        spark.createDataFrame(
+            [(n_good, avgdl)],
+            schema=T.StructType(
+                [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
+            ),
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+        n_bad = spark.read.parquet(os.path.join(path, "_badrows")).count()
         _append(
             spark,
             os.path.join(path, "_metrics"),
@@ -232,14 +241,9 @@ def build_index(
         docs_batch = idx.documents.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         )
-        blocks = index_build.build_blocks_df(docs_batch, avgdl, cfg)
-        # idempotent per-partition commit: dynamic overwrite replaces only
-        # the (term_bucket, range_id) partitions this batch produced
-        blocks.write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
-            blocks_path
-        )
-        written = spark.read.parquet(blocks_path).filter(F.col("range_id").isin(batch))
-        stats = written.agg(
+        obs = Observation(f"blocks_{bi}")
+        blocks = index_build.build_blocks_df(docs_batch, avgdl, cfg).observe(
+            obs,
             F.coalesce(F.sum("doc_count"), F.lit(0)).alias("postings"),
             F.coalesce(
                 F.sum(
@@ -249,9 +253,16 @@ def build_index(
                 ),
                 F.lit(0),
             ).alias("bytes"),
-            F.count_distinct(F.col("term")).alias("terms"),
-            F.coalesce(F.sum(F.lit(1)), F.lit(0)).alias("blocks"),
-        ).collect()[0]
+            # exact term count lands at finalize; the per-batch lineage
+            # metric is approximate (Observation forbids distinct aggs)
+            F.approx_count_distinct("term").alias("terms"),
+        )
+        # idempotent per-partition commit: dynamic overwrite replaces only
+        # the (term_bucket, range_id) partitions this batch produced
+        blocks.write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
+            blocks_path
+        )
+        stats = obs.get
         rows = [
             (
                 "range_batch",
@@ -281,9 +292,12 @@ def build_index(
     # ---- stage 2: finalize termdict ----
     if 0 not in _done_partitions(spark, path, "finalize"):
         t0 = time.time()
-        td = index_build.termdict_from_blocks(idx.blocks)
+        obs = Observation("termdict")
+        td = index_build.termdict_from_blocks(idx.blocks).observe(
+            obs, F.count(F.lit(1)).alias("n_terms")
+        )
         td.write.mode("overwrite").parquet(os.path.join(path, "termdict"))
-        n_terms = idx.termdict.count()
+        n_terms = int(obs.get["n_terms"])
         _append(
             spark,
             os.path.join(path, "_checkpoints"),

@@ -140,7 +140,10 @@ def _rank_key_col() -> Column:
 
 
 def assign_doc_ids(
-    transcripts: DataFrame, num_ranges: int | None = None, seed: int = 42
+    transcripts: DataFrame,
+    num_ranges: int | None = None,
+    seed: int = 42,
+    dedup: bool = False,
 ) -> DataFrame:
     """Dense doc_id = global rank over (conv_id, turn_idx).
 
@@ -161,6 +164,11 @@ def assign_doc_ids(
 
     No global single-partition window; every pass is fully parallel.
     Output is identical at any parallelism level.
+
+    ``dedup=True`` fuses natural-key dedup (E3 idempotency, earliest-ts
+    keep — the same contract as dedup_turns) into the grouped map:
+    duplicates share a bucket by construction, so deduplication costs
+    no extra shuffle; bucket offsets count DISTINCT keys.
     """
     import numpy as np
 
@@ -189,21 +197,30 @@ def assign_doc_ids(
         )
 
     bucketed = df.withColumn("_bucket", bucket_of(F.col("_key")))
-    counts = bucketed.groupBy("_bucket").count().collect()
+    cnt = (
+        F.count_distinct(F.col("_key")) if dedup else F.count(F.lit(1))
+    ).alias("n")
+    counts = bucketed.groupBy("_bucket").agg(cnt).collect()
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["_bucket"]):
         offsets[int(row["_bucket"])] = acc
-        acc += row["count"]
+        acc += row["n"]
     boff = spark.sparkContext.broadcast(offsets)
 
     base_fields = [f for f in transcripts.schema.fields]
     out_schema = T.StructType(base_fields + [T.StructField("doc_id", T.LongType())])
     base_cols = [f.name for f in base_fields]
+    has_tiebreak = {"ts", "text"} <= set(base_cols)
 
     def rank_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
-        pdf = pdf.sort_values("_key", kind="mergesort").reset_index(drop=True)
+        if dedup:
+            sort_cols = ["_key", "ts", "text"] if has_tiebreak else ["_key"]
+            pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="last")
+            pdf = pdf.drop_duplicates("_key", keep="first").reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values("_key", kind="mergesort").reset_index(drop=True)
         out = pdf[base_cols].copy()
         out["doc_id"] = boff.value.get(bucket, 0) + np.arange(len(pdf), dtype=np.int64)
         return out
@@ -221,8 +238,8 @@ def prepare_documents(
     — downstream tables partition on it, query side prunes on it.
     """
     good, bad = split_good_bad(transcripts, cfg)
-    good = dedup_turns(good)
-    with_ids = assign_doc_ids(good)
+    # dedup (E3) fused into the doc-id grouped map: one shuffle total
+    with_ids = assign_doc_ids(good, dedup=True)
     docs = with_ids.select(
         "doc_id",
         "conv_id",

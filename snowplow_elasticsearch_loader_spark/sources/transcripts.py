@@ -51,8 +51,15 @@ def synth_transcripts_pdf(
     seed: int = 42,
     vocab_size: int = 2000,
     with_anomalies: bool = True,
+    fast: bool = False,
 ) -> pd.DataFrame:
-    """Deterministic transcripts as pandas (driver-side fixture builder)."""
+    """Deterministic transcripts as pandas (driver-side fixture builder).
+
+    ``fast=True`` (bench-scale corpora): vectorized text assembly with a
+    uniform space separator and no casing tricks — same schema, same
+    Zipf+hot-term distribution, ~100x faster to generate. Both modes
+    are fully determined by (n_convs, seed, vocab_size).
+    """
     rng = np.random.RandomState(seed)
     vocab = np.array(
         _BASE_VOCAB + [f"term{i:05d}" for i in range(max(0, vocab_size - len(_BASE_VOCAB)))]
@@ -73,21 +80,55 @@ def synth_transcripts_pdf(
 
     # texts: 5..60 zipfian tokens + hot terms on ~55% of turns
     lens = rng.randint(5, 61, size=total)
-    flat = rng.choice(vocab, p=zipf_p, size=int(lens.sum()))
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    texts = []
     hot_mask = rng.rand(total) < 0.55
-    punct = np.array([".", ",", "!", "?", ";", " -", ":"])
-    for i in range(total):
-        words = list(flat[offs[i] : offs[i + 1]])
-        if hot_mask[i]:
-            words = [HOT_TERMS[i % len(HOT_TERMS)], HOT_TERMS[0]] + words
-        # casing + punctuation variety (analyzer tests)
-        if i % 7 == 0 and words:
-            words[0] = words[0].upper()
-        sep = punct[i % len(punct)] + " " if i % 5 == 0 else " "
-        texts.append(sep.join(words))
-    texts = np.array(texts, dtype=object)
+    if fast:
+        # byte-buffer assembly: draw token CODES (searchsorted over the
+        # zipf cdf), scatter hot-term prefixes, join once into a single
+        # bytes buffer, slice per row — no per-token Python strings.
+        ext_vocab = list(vocab) + [t for t in HOT_TERMS if t not in set(vocab)]
+        hot_codes = np.array([ext_vocab.index(t) for t in HOT_TERMS])
+        cdf = np.cumsum(zipf_p)
+        codes = np.searchsorted(cdf, rng.rand(int(lens.sum()))).clip(0, len(vocab) - 1)
+        extra = np.where(hot_mask, 2, 0)
+        lens2 = lens + extra
+        off2 = np.concatenate(([0], np.cumsum(lens2)))
+        n_slots = int(off2[-1])
+        row_of = np.repeat(np.arange(total), lens2)
+        idx_in_row = np.arange(n_slots) - off2[row_of]
+        is_extra = idx_in_row < extra[row_of]
+        slot_codes = np.empty(n_slots, dtype=np.int64)
+        slot_codes[~is_extra] = codes
+        ex_rows = row_of[is_extra]
+        ex_idx = idx_in_row[is_extra]
+        slot_codes[is_extra] = np.where(
+            ex_idx == 0, hot_codes[ex_rows % len(HOT_TERMS)], hot_codes[0]
+        )
+        tok_b = np.array([(w + " ").encode("utf-8") for w in ext_vocab], dtype=object)
+        blens = np.array([len(x) for x in tok_b], dtype=np.int64)
+        buf = b"".join(tok_b[slot_codes].tolist())
+        row_bytes = np.add.reduceat(blens[slot_codes], off2[:-1])
+        row_end = np.cumsum(row_bytes)
+        row_start = row_end - row_bytes
+        texts = np.array(
+            [buf[s : e - 1].decode("utf-8") for s, e in zip(row_start, row_end)],
+            dtype=object,
+        )
+        flat = None
+    else:
+        flat = rng.choice(vocab, p=zipf_p, size=int(lens.sum()))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        punct = np.array([".", ",", "!", "?", ";", " -", ":"])
+        texts = []
+        for i in range(total):
+            words = list(flat[offs[i] : offs[i + 1]])
+            if hot_mask[i]:
+                words = [HOT_TERMS[i % len(HOT_TERMS)], HOT_TERMS[0]] + words
+            # casing + punctuation variety (analyzer tests)
+            if i % 7 == 0 and words:
+                words[0] = words[0].upper()
+            sep = punct[i % len(punct)] + " " if i % 5 == 0 else " "
+            texts.append(sep.join(words))
+        texts = np.array(texts, dtype=object)
 
     if with_anomalies and total > 20:
         texts[3] = ""  # empty text
@@ -122,7 +163,8 @@ def synth_transcripts(
     vocab_size: int = 2000,
     with_anomalies: bool = True,
     partitions: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
-    pdf = synth_transcripts_pdf(n_convs, seed, vocab_size, with_anomalies)
+    pdf = synth_transcripts_pdf(n_convs, seed, vocab_size, with_anomalies, fast)
     df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
     return df.repartition(partitions) if partitions else df
