@@ -1,0 +1,56 @@
+"""spark-submit entrypoint: BM25 top-k query over a built index.
+
+    python jobs/query.py --index /path/to/index --query "error in tool call" \
+        [--k 10] [--path naive|wand] [--master local[32]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from snowplow_elasticsearch_loader_spark.config import DEFAULT_CONFIG
+from snowplow_elasticsearch_loader_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True, action="append")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--path", choices=["naive", "wand"], default="wand")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(args.master, app_name="bm25-query")
+    spark.sparkContext.setLogLevel("WARN")
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+    from snowplow_elasticsearch_loader_spark.operators import bm25, wand
+
+    idx = InvertedIndex(spark, args.index, DEFAULT_CONFIG)
+    queries = [(f"q{i}", q) for i, q in enumerate(args.query)]
+    t0 = time.time()
+    if args.path == "wand":
+        res = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), queries, k=args.k)
+    else:
+        posts = idx.postings().select("term", "doc_id", "tf")
+        from snowplow_elasticsearch_loader_spark.operators.postings import term_stats
+
+        res = bm25.bm25_topk_naive(posts, idx.docstats, term_stats(posts), queries, k=args.k)
+    rows = res.collect()
+    dt = time.time() - t0
+    out = [
+        {"query_id": r["query_id"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
+        for r in rows
+    ]
+    print(json.dumps({"latency_sec": round(dt, 3), "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

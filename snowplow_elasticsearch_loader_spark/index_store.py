@@ -75,6 +75,9 @@ class InvertedIndex:
     path: str
     cfg: EngineConfig
 
+    def __post_init__(self) -> None:
+        ensure_shipped(self.spark)
+
     def _t(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, name))
 

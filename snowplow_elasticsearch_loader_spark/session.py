@@ -44,4 +44,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

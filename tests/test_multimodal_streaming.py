@@ -1,0 +1,133 @@
+"""Multimodal binary-column plumbing + Structured Streaming tier."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_elasticsearch_loader_spark.config import EngineConfig, IndexConfig
+from snowplow_elasticsearch_loader_spark.operators import multimodal as MM
+from snowplow_elasticsearch_loader_spark.operators.postings import build_postings
+from snowplow_elasticsearch_loader_spark.sources.transcripts import synth_transcripts
+from snowplow_elasticsearch_loader_spark.streaming.stream_build import (
+    incremental_index_build,
+    streaming_rollup,
+)
+
+SCFG = EngineConfig(index=IndexConfig(block_size=16, docs_per_range=512, term_buckets=8))
+
+
+def test_multimodal_metadata_extraction(spark):
+    assets = MM.synth_assets(spark, n=48)
+    meta = MM.extract_metadata(assets).collect()
+    assert len(meta) == 48
+    for r in meta:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert r["payload_bytes"] == r["width"] * r["height"] + 19
+        assert 0.0 <= r["byte_mean"] <= 255.0
+    kinds = {r["kind"] for r in meta}
+    assert kinds == {"image", "audio", "video"}
+    # deterministic across runs
+    meta2 = MM.extract_metadata(MM.synth_assets(spark, n=48)).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = MM.synth_assets(spark, n=30)
+    frames = MM.sample_frames(assets, every=4).collect()
+    vids = MM.extract_metadata(assets.filter(F.col("kind") == "video")).collect()
+    expected = sum((r["n_frames"] + 3) // 4 for r in vids)
+    assert len(frames) == expected
+    assert all(len(r["frame_bytes"]) > 0 for r in frames)
+
+
+def test_multimodal_decode_is_stubbed(spark):
+    assets = MM.synth_assets(spark, n=3)
+    if not MM.HAVE_REAL_CODECS:
+        with pytest.raises(NotImplementedError, match="decode requires"):
+            MM.decode_image(assets)
+
+
+def test_streaming_incremental_build_matches_batch(spark):
+    """Two micro-batches (convs pre-split in key order) -> decoded
+    postings equal the one-shot batch postings over the union."""
+    in_dir = tempfile.mkdtemp(prefix="stream-in-")
+    idx_dir = tempfile.mkdtemp(prefix="stream-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="stream-cp-")
+    try:
+        tr = synth_transcripts(spark, n_convs=24, seed=11, with_anomalies=False)
+        half = tr.filter(F.col("conv_id") < "conv-00000012")
+        rest = tr.filter(F.col("conv_id") >= "conv-00000012")
+        half.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b0")
+        rest.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+        # flat dir of files for the stream source
+        import glob
+        import os
+
+        files = sorted(glob.glob(in_dir + "/b*/part-*.parquet"))
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(in_dir, f"{i:04d}.parquet"))
+        shutil.rmtree(in_dir + "/b0"), shutil.rmtree(in_dir + "/b1")
+
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+
+        idx = InvertedIndex(spark, idx_dir, SCFG)
+        streamed = idx.postings().select("term", "doc_id", "tf")
+        # batch twin over the streamed doc store (same doc ids)
+        batch = build_postings(idx.documents)
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        # every input turn indexed exactly once
+        assert idx.documents.count() == tr.count()
+        # stream batches checkpointed
+        stages = [r["stage"] for r in idx.checkpoints.collect()]
+        assert stages.count("stream_batch") >= 2
+        # wand over streamed index == naive relational over the doc store
+        from snowplow_elasticsearch_loader_spark.operators import bm25, wand
+        from snowplow_elasticsearch_loader_spark.operators.postings import (
+            doc_stats,
+            term_stats,
+        )
+
+        qs = [("s-1", "error retry"), ("s-2", "the tool")]
+        naive = bm25.bm25_topk_naive(
+            batch, doc_stats(idx.documents), term_stats(batch), qs, k=5, cfg=SCFG
+        ).collect()
+        fast = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), qs, k=5, cfg=SCFG).collect()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+        assert key(naive) == key(fast)
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rollup_watermarked(spark):
+    in_dir = tempfile.mkdtemp(prefix="stream-roll-")
+    try:
+        tr = synth_transcripts(spark, n_convs=10, seed=3, with_anomalies=False)
+        tr.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        q = (
+            streaming_rollup(spark, in_dir, window="6 hours", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("rollup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from rollup_test").collect()
+        # append mode emits only watermark-closed windows; with
+        # availableNow over a finite source the final windows stay open,
+        # so assert the plan ran and produced a well-typed result
+        assert {f.name for f in spark.table("rollup_test").schema.fields} == {
+            "window_start",
+            "role",
+            "n_turns",
+        }
+        assert all(r["n_turns"] > 0 for r in rows)
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
