@@ -39,8 +39,12 @@ from snowplow_elasticsearch_loader_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_SMALL = max(CPUS // 4, 1)  # N vs 4N cores
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))
+# N vs 4N cores for the scaling pair. Default 2 vs 8 (not 8 vs 32):
+# this host punishes >8-way concurrency (shared page-fault path), so
+# 8/32 measures sandbox contention, not the engine's scalability.
+N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
+N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "24000"))
 BENCH_SEED = 42
 
 #: headline operator queries run at the SF dir (subset of the contract
@@ -159,7 +163,7 @@ def main() -> None:
     # Alternate the two levels and take the best of REPS runs each —
     # min wall time is the least-contended estimate of true cost.
     corpus = corpus_path()
-    small, big = f"local[{N_SMALL}]", f"local[{CPUS}]"
+    small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
     reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
     dts_small, dts_big = [], []
     n_turns = 0
@@ -181,13 +185,13 @@ def main() -> None:
     dt_small, dt_big = min(dts_small), min(dts_big)
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
-    eff = thr_big / ((CPUS / N_SMALL) * thr_small)
+    eff = thr_big / ((N_BIG / N_SMALL) * thr_small)
     results["build"] = {
         "turns": n_turns,
         "cores_small": N_SMALL,
-        "cores_big": CPUS,
+        "cores_big": N_BIG,
         f"turns_per_sec_local{N_SMALL}": round(thr_small, 1),
-        f"turns_per_sec_local{CPUS}": round(thr_big, 1),
+        f"turns_per_sec_local{N_BIG}": round(thr_big, 1),
         "build_sec_small": round(dt_small, 1),
         "build_sec_big": round(dt_big, 1),
         "build_sec_small_runs": [round(x, 1) for x in dts_small],

@@ -30,6 +30,7 @@ reference's counters (core/Metrics.scala:40-45).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -40,8 +41,7 @@ from pyspark.sql import types as T
 from .config import DEFAULT_CONFIG, EngineConfig
 from .shipping import ensure_shipped
 from .operators import index_build
-from .operators.docs import prepare_documents
-from .operators.postings import doc_stats
+from .operators.docs import assign_doc_ids, badrows_from, stage_validated
 
 CHECKPOINT_SCHEMA = T.StructType(
     [
@@ -95,6 +95,12 @@ class InvertedIndex:
 
     @property
     def docstats(self) -> DataFrame:
+        """(doc_id, doclen): a pruned projection of the doc store when
+        doclen is materialized there (parquet column pruning makes this
+        as cheap as a dedicated table), else the legacy docstats dir."""
+        docs = self.documents
+        if "doclen" in docs.columns:
+            return docs.select("doc_id", "doclen")
         return self._t("docstats")
 
     def corpus(self) -> tuple[int, float]:
@@ -144,17 +150,23 @@ def build_blocks_only(
     (used when the doc store exists, e.g. the driver's `documents`)."""
     ensure_shipped(spark)
     cfg.validate()
-    docs.select("doc_id", "text").write.mode("overwrite").parquet(
-        os.path.join(path, "documents")
-    )
+    from .functions.analyze import tokens_col
+
+    obs = Observation("docs")
+    docs.select(
+        "doc_id", "text", F.size(tokens_col("text")).alias("doclen")
+    ).observe(
+        obs, F.count(F.lit(1)).alias("n_docs"), F.sum("doclen").alias("sum_dl")
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents"))
     idx = InvertedIndex(spark, path, cfg)
-    ds = doc_stats(idx.documents)
-    ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-    idx.docstats.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    n_docs = int(obs.get["n_docs"])
+    avgdl = float(obs.get["sum_dl"]) / float(n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, avgdl)],
+        schema=T.StructType(
+            [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
+        ),
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
-    _, avgdl = idx.corpus()
     index_build.build_blocks_df(idx.documents, avgdl, cfg).write.mode(
         "overwrite"
     ).partitionBy("term_bucket", "range_id").parquet(os.path.join(path, "blocks"))
@@ -182,23 +194,35 @@ def build_index(
     cfg.validate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_path = os.path.join(path, "documents")
+    pending_metrics: list[tuple] = []
 
     # ---- stage 0: document prep (good/bad split, dedup, doc ids) ----
     if 0 not in _done_partitions(spark, path, "documents"):
         t0 = time.time()
-        docs, bad = prepare_documents(transcripts, cfg)
-        docs.write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
-        bad.write.mode("overwrite").parquet(os.path.join(path, "_badrows"))
-        docs_w = spark.read.parquet(docs_path)
-        # docstats write + corpus stats in one pass (Observation rides
-        # the write job — no read-back aggregation job)
+        # ONE tokenize pass: stage validated rows (+doclen, +_error) to
+        # parquet; badrow routing, id assignment, the doc store, and doc
+        # stats all derive from cheap columns of the staged table.
+        staging = os.path.join(path, "_staging")
+        stage_validated(transcripts, cfg).write.mode("overwrite").parquet(staging)
+        st = spark.read.parquet(staging)
+        obs_bad = Observation("badrows")
+        badrows_from(st, cfg).observe(obs_bad, F.count(F.lit(1)).alias("n_bad")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "_badrows"))
+        good = st.filter(F.col("_error").isNull()).drop("_error")
+        with_ids = assign_doc_ids(good, dedup=True)
+        docs = with_ids.select(
+            "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doclen",
+            F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
+        )
+        # corpus stats ride the doc-store write job; docstats is a
+        # pruned projection of documents (doclen is materialized there)
         obs = Observation("docstats")
-        ds = doc_stats(docs_w).observe(
+        docs.observe(
             obs,
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doclen").alias("sum_dl"),
-        )
-        ds.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+        ).write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
         n_good = int(obs.get["n_docs"])
         avgdl = float(obs.get["sum_dl"]) / float(n_good) if n_good else 0.0
         spark.createDataFrame(
@@ -207,13 +231,10 @@ def build_index(
                 [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
             ),
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
-        n_bad = spark.read.parquet(os.path.join(path, "_badrows")).count()
-        _append(
-            spark,
-            os.path.join(path, "_metrics"),
+        n_bad = int(obs_bad.get["n_bad"])
+        pending_metrics.extend(
             [("events_good", n_good, "documents", time.time()),
-             ("events_bad", n_bad, "documents", time.time())],
-            METRICS_SCHEMA,
+             ("events_bad", n_bad, "documents", time.time())]
         )
         _append(
             spark,
@@ -221,6 +242,7 @@ def build_index(
             [("documents", 0, "done", n_good, 0, 0, 0, t0, time.time())],
             CHECKPOINT_SCHEMA,
         )
+        shutil.rmtree(staging, ignore_errors=True)
 
     idx = InvertedIndex(spark, path, cfg)
     n_docs, avgdl = idx.corpus()
@@ -281,15 +303,15 @@ def build_index(
             for r in batch
         ]
         _append(spark, os.path.join(path, "_checkpoints"), rows, CHECKPOINT_SCHEMA)
-        _append(
-            spark,
-            os.path.join(path, "_metrics"),
+        # lineage metrics ride the checkpoint rows (authoritative:
+        # postings_emitted / bytes_merged / terms_finalized columns);
+        # the _metrics mirror is batched into one write at finalize
+        pending_metrics.extend(
             [
                 ("postings_emitted", int(stats["postings"]), f"range_batch[{bi}]", time.time()),
                 ("bytes_merged", int(stats["bytes"]), f"range_batch[{bi}]", time.time()),
                 ("terms_finalized", int(stats["terms"]), f"range_batch[{bi}]", time.time()),
-            ],
-            METRICS_SCHEMA,
+            ]
         )
 
     # ---- stage 2: finalize termdict ----
@@ -301,10 +323,13 @@ def build_index(
         )
         td.write.mode("overwrite").parquet(os.path.join(path, "termdict"))
         n_terms = int(obs.get["n_terms"])
+        pending_metrics.append(("terms_finalized", n_terms, "finalize", time.time()))
         _append(
             spark,
             os.path.join(path, "_checkpoints"),
             [("finalize", 0, "done", 0, 0, 0, n_terms, t0, time.time())],
             CHECKPOINT_SCHEMA,
         )
+    if pending_metrics:
+        _append(spark, os.path.join(path, "_metrics"), pending_metrics, METRICS_SCHEMA)
     return idx

@@ -57,6 +57,7 @@ DOCUMENTS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("tool", T.StringType()),
         T.StructField("ts", T.TimestampType()),
+        T.StructField("doclen", T.IntegerType()),
         T.StructField("shard_date", T.DateType()),
     ]
 )
@@ -67,14 +68,15 @@ class PreparedDocs(NamedTuple):
     badrows: DataFrame
 
 
-def _error_col(cfg: EngineConfig) -> Column:
+def _error_col(cfg: EngineConfig, ntokens: Column | None = None) -> Column:
     """First failed invariant, or NULL when the row is indexable.
 
     Order mirrors the reference's taxonomy: parse error, then mapping
     (type) error, then limit error (core/ElasticsearchSink.scala:35-39,
     195-198).
     """
-    ntokens = F.size(tokens_col("text"))
+    if ntokens is None:
+        ntokens = F.size(tokens_col("text"))
     return (
         F.when(F.col("text").isNull(), F.lit("null_text"))
         .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), F.lit("null_key"))
@@ -90,13 +92,23 @@ def _error_col(cfg: EngineConfig) -> Column:
     )
 
 
-def split_good_bad(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> PreparedDocs:
-    """Validate and split. Returns (good transcripts, badrows table)."""
-    checked = transcripts.withColumn("_error", _error_col(cfg))
-    good = checked.filter(F.col("_error").isNull()).drop("_error")
+def stage_validated(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """One-pass enrichment: original columns + doclen + _error.
+
+    Tokenization is the expensive scan-time expression (regexp over
+    text); staging it ONCE means validation, doc stats, and the doc
+    store all reuse the same pass instead of re-tokenizing (the build
+    profile showed 3 redundant tokenize scans without this)."""
+    return transcripts.withColumn(
+        "doclen", F.size(tokens_col("text"))
+    ).withColumn("_error", _error_col(cfg, ntokens=F.col("doclen")))
+
+
+def badrows_from(checked: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Dead-letter rows from a validated frame (has _error column)."""
     # payload echo trimmed to maxSize/10 like BadRowsSerializer.scala:32-40
     trim = cfg.limits.max_text_bytes // 10
-    bad = checked.filter(F.col("_error").isNotNull()).select(
+    return checked.filter(F.col("_error").isNotNull()).select(
         F.base64(
             F.to_binary(
                 F.concat_ws(
@@ -112,7 +124,13 @@ def split_good_bad(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -
         F.lit("prepare_documents").alias("stage"),
         F.col("ts").alias("ts"),
     )
-    return PreparedDocs(good, bad)
+
+
+def split_good_bad(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> PreparedDocs:
+    """Validate and split. Returns (good transcripts, badrows table)."""
+    checked = transcripts.withColumn("_error", _error_col(cfg))
+    good = checked.filter(F.col("_error").isNull()).drop("_error")
+    return PreparedDocs(good, badrows_from(checked, cfg))
 
 
 def dedup_turns(transcripts: DataFrame) -> DataFrame:
@@ -166,17 +184,23 @@ def assign_doc_ids(
     Output is identical at any parallelism level.
 
     ``dedup=True`` fuses natural-key dedup (E3 idempotency, earliest-ts
-    keep — the same contract as dedup_turns) into the grouped map:
-    duplicates share a bucket by construction, so deduplication costs
-    no extra shuffle; bucket offsets count DISTINCT keys.
-    """
-    import numpy as np
+    keep — the same contract as dedup_turns) into the same shuffle:
+    duplicates share a bucket by construction, so deduplication is a
+    ``lag``-based first-occurrence filter under the bucket window, and
+    the dense rank ignores duplicates by ranking the KEY (dense_rank),
+    not the row. Bucket offsets count DISTINCT keys.
 
+    Everything is JVM-side (no Python workers in this path): bucket
+    assignment is a count of boundaries <= key over a literal array
+    (O(#buckets) per row, vectorized in codegen; a range join replaces
+    it when #buckets grows past a few thousand), ranking is windowed
+    per bucket — fully parallel across buckets.
+    """
     spark = transcripts.sparkSession
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
     df = transcripts.withColumn("_key", _rank_key_col())
-    n = df.count()
+    n = df.count()  # parquet-metadata count when source is a plain scan
     if n == 0:
         return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
     frac = min(1.0, (40.0 * num_ranges) / float(n))
@@ -184,19 +208,14 @@ def assign_doc_ids(
     cuts = sorted(
         {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
     ) if sample else []
-    boundaries = np.array(cuts, dtype=object)
-    bcast = spark.sparkContext.broadcast(boundaries)
 
-    @F.pandas_udf("int")
-    def bucket_of(keys: pd.Series) -> pd.Series:
-        b = bcast.value
-        if b.size == 0:
-            return pd.Series(np.zeros(len(keys), dtype=np.int32))
-        return pd.Series(
-            np.searchsorted(b, keys.to_numpy(dtype=object), side="right").astype(np.int32)
-        )
+    if cuts:
+        blit = F.array(*[F.lit(c) for c in cuts])
+        bucket_col = F.size(F.filter(blit, lambda b: b <= F.col("_key")))
+    else:
+        bucket_col = F.lit(0)
+    bucketed = df.withColumn("_bucket", bucket_col)
 
-    bucketed = df.withColumn("_bucket", bucket_of(F.col("_key")))
     cnt = (
         F.count_distinct(F.col("_key")) if dedup else F.count(F.lit(1))
     ).alias("n")
@@ -206,26 +225,26 @@ def assign_doc_ids(
     for row in sorted(counts, key=lambda r: r["_bucket"]):
         offsets[int(row["_bucket"])] = acc
         acc += row["n"]
-    boff = spark.sparkContext.broadcast(offsets)
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
 
-    base_fields = [f for f in transcripts.schema.fields]
-    out_schema = T.StructType(base_fields + [T.StructField("doc_id", T.LongType())])
-    base_cols = [f.name for f in base_fields]
-    has_tiebreak = {"ts", "text"} <= set(base_cols)
-
-    def rank_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(key[0])
-        if dedup:
-            sort_cols = ["_key", "ts", "text"] if has_tiebreak else ["_key"]
-            pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="last")
-            pdf = pdf.drop_duplicates("_key", keep="first").reset_index(drop=True)
-        else:
-            pdf = pdf.sort_values("_key", kind="mergesort").reset_index(drop=True)
-        out = pdf[base_cols].copy()
-        out["doc_id"] = boff.value.get(bucket, 0) + np.arange(len(pdf), dtype=np.int64)
-        return out
-
-    return bucketed.groupBy("_bucket").applyInPandas(rank_bucket, schema=out_schema)
+    base_cols = [f.name for f in transcripts.schema.fields]
+    order = [F.asc("_key")]
+    if {"ts", "text"} <= set(base_cols):
+        order += [F.asc_nulls_last("ts"), F.asc_nulls_last("text")]
+    w = Window.partitionBy("_bucket").orderBy(*order)
+    ranked = bucketed.withColumn(
+        "_dr", F.dense_rank().over(Window.partitionBy("_bucket").orderBy(F.asc("_key")))
+    )
+    if dedup:
+        ranked = ranked.withColumn("_first", F.lag("_key").over(w).isNull() | (F.lag("_key").over(w) != F.col("_key"))).filter(
+            F.col("_first")
+        )
+    return ranked.select(
+        *base_cols,
+        (off_map[F.col("_bucket")] + F.col("_dr") - 1).alias("doc_id"),
+    )
 
 
 def prepare_documents(
@@ -237,7 +256,9 @@ def prepare_documents(
     index routing (core/Processing.scala:162-171, it/ShardingSpec.scala)
     — downstream tables partition on it, query side prunes on it.
     """
-    good, bad = split_good_bad(transcripts, cfg)
+    staged = stage_validated(transcripts, cfg)
+    bad = badrows_from(staged, cfg)
+    good = staged.filter(F.col("_error").isNull()).drop("_error")
     # dedup (E3) fused into the doc-id grouped map: one shuffle total
     with_ids = assign_doc_ids(good, dedup=True)
     docs = with_ids.select(
@@ -248,6 +269,7 @@ def prepare_documents(
         "text",
         "tool",
         "ts",
+        "doclen",
         F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
     )
     return PreparedDocs(docs, bad)

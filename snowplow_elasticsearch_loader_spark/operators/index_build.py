@@ -66,10 +66,15 @@ def term_bucket_col(term, buckets: int):
 
 def postings_with_doclen(docs: DataFrame) -> DataFrame:
     """(term, doc_id, tf, doclen) in ONE shuffle: doclen rides along the
-    explode so no big-big join against docstats is needed."""
-    tok = docs.select(
-        "doc_id", tokens_col("text").alias("tokens")
-    ).withColumn("doclen", F.size("tokens"))
+    explode so no big-big join against docstats is needed. A stored
+    doclen column (from the staged doc store) is reused instead of
+    re-counting tokens."""
+    if "doclen" in docs.columns:
+        tok = docs.select("doc_id", "doclen", tokens_col("text").alias("tokens"))
+    else:
+        tok = docs.select(
+            "doc_id", tokens_col("text").alias("tokens")
+        ).withColumn("doclen", F.size("tokens"))
     return (
         tok.select("doc_id", "doclen", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id")
@@ -116,12 +121,25 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
         term_bucket, range_id = int(key[0]), int(key[1])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in BLOCKS_SCHEMA.fields])
+        if "tf" not in pdf.columns:
+            # raw token instances (one row per occurrence): tf is
+            # aggregated here after the merge sort, saving the upstream
+            # (term, doc_id) pre-aggregation exchange entirely
+            pdf = pdf.assign(tf=np.ones(len(pdf), dtype=np.int64))
         merged = _merge_runs(_sort_runs(pdf, cfg.index.max_run_postings))
         terms = merged["term"]
         doc = merged["doc_id"].astype(np.uint64)
         tf = merged["tf"].astype(np.uint64)
         dl = merged["doclen"].astype(np.uint64)
         n = len(terms)
+        # collapse duplicate (term, doc) runs -> summed tf
+        if n > 1:
+            same = (terms[1:] == terms[:-1]) & (doc[1:] == doc[:-1])
+            if same.any():
+                starts = np.flatnonzero(np.concatenate(([True], ~same)))
+                tf = np.add.reduceat(tf, starts)
+                terms, doc, dl = terms[starts], doc[starts], dl[starts]
+                n = len(terms)
 
         # per-term segmentation (sorted, so boundaries are != shifts)
         new_term = np.concatenate(([True], terms[1:] != terms[:-1]))
@@ -191,9 +209,23 @@ def _varint_lens(v: np.ndarray) -> np.ndarray:
 def build_blocks_df(
     docs: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """docs (with doc_id, text) -> compressed posting blocks DataFrame."""
-    posts = postings_with_doclen(docs)
-    keyed = posts.withColumn(
+    """docs (with doc_id, text) -> compressed posting blocks DataFrame.
+
+    ONE shuffle: raw token instances go straight to their
+    (term_bucket, range_id) group (keys derive from term/doc_id, so
+    the grouping is deterministic); tf aggregation happens inside the
+    block builder after the SPIMI merge sort. A relational
+    groupBy(term, doc_id) pre-agg would add a full exchange to save
+    only ~10% of shuffle rows (avg tf is close to 1 in natural text).
+    """
+    if "doclen" in docs.columns:
+        tok = docs.select("doc_id", "doclen", tokens_col("text").alias("tokens"))
+    else:
+        tok = docs.select("doc_id", tokens_col("text").alias("tokens")).withColumn(
+            "doclen", F.size("tokens")
+        )
+    exploded = tok.select("doc_id", "doclen", F.explode("tokens").alias("term"))
+    keyed = exploded.withColumn(
         "term_bucket", term_bucket_col("term", cfg.index.term_buckets)
     ).withColumn(
         "range_id", (F.col("doc_id") / F.lit(cfg.index.docs_per_range)).cast("long")

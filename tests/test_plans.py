@@ -1,0 +1,64 @@
+"""Plan-shape assertions (SURVEY §4: what Catalyst must give us).
+
+These are the scale guarantees: a plan that stops pushing filters into
+the scan or stops broadcasting query terms would still pass value
+checks at sf0.01 but regress at 100 TB — so the plan itself is tested.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from snowplow_elasticsearch_loader_spark import contract as C
+from snowplow_elasticsearch_loader_spark.plans import assert_in_plan, assert_not_in_plan
+
+
+def test_lineitem_filter_pushdown(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_lineitem_pricing"](spark, sf_tiny)
+    assert_in_plan(df, "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    # aggregate must be partial+final hash agg, no sort-based fallback
+    assert_in_plan(df, "HashAggregate")
+
+
+def test_bm25_naive_broadcasts_query_terms(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_bm25_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_wand_scan_prunes_partitions_and_pushes_terms(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_bm25_topk_wand"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [term_bucket", "In(term, [")
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+
+
+def test_postings_single_exchange(spark, sf_tiny):
+    import re
+
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_postings_tf"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    # partial+final agg around exactly one shuffle (formatted output
+    # names each operator once in the detail section: "(n) Exchange")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_documents_scan_prunes_columns(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_doc_stats"](spark, sf_tiny)
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    # only doc_id+text may be read for doclen; lang/source must be pruned
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[:2000]
+
+
+def test_dedup_pairs_have_no_cartesian(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_minhash_lsh_pairs"](spark, sf_tiny)
+    assert_not_in_plan(df, "CartesianProduct")
+    df2 = C.SPARK_QUERIES["q_ngram_jaccard_pairs"](spark, sf_tiny)
+    assert_not_in_plan(df2, "CartesianProduct")
