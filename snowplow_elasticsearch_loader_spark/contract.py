@@ -260,6 +260,136 @@ FROM events GROUP BY 1
 """
 
 
+def q_badrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-typed JSON field -> monotyped columns (SURVEY S6, the
+    BadRowTransformer analog): a field that is object/array/scalar per
+    row splits into failure_obj / failure_list / failure_str."""
+    from .operators.badjson import normalize_badrows
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    j = (
+        F.when(F.col("event_type") == "error", F.concat(F.lit('{"failure": {"code": '), k, F.lit("}}")))
+        .when(F.col("event_type") == "purchase", F.concat(F.lit('{"failure": ['), k, F.lit(", 2]}")))
+        .otherwise(F.concat(F.lit('{"failure": "msg-'), k, F.lit('"}')))
+    )
+    df = ev.select("event_id", j.alias("j"))
+    return normalize_badrows(df, "j", ["failure"]).select(
+        "event_id", "failure_str", "failure_list", "failure_obj"
+    )
+
+
+SQL_BADROW_NORMALIZE = """
+WITH src AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error'
+                THEN '{"failure": {"code": ' || json_extract_string(props, '$.k') || '}}'
+              WHEN event_type = 'purchase'
+                THEN '{"failure": [' || json_extract_string(props, '$.k') || ', 2]}'
+              ELSE '{"failure": "msg-' || json_extract_string(props, '$.k') || '"}'
+         END AS j
+  FROM events
+),
+typed AS (
+  SELECT event_id, j,
+         substr(ltrim(json_extract(j, '$.failure')::VARCHAR), 1, 1) AS head
+  FROM src
+)
+SELECT event_id,
+       CASE WHEN head NOT IN ('{', '[') THEN json_extract_string(j, '$.failure') END AS failure_str,
+       CASE WHEN head = '[' THEN json_extract(j, '$.failure')::VARCHAR END AS failure_list,
+       CASE WHEN head = '{' THEN json_extract(j, '$.failure')::VARCHAR END AS failure_obj
+FROM typed
+"""
+
+
+def q_limit_error_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: regex classification of limit errors into a counter
+    (core/ElasticsearchSink.scala:195-198 analog)."""
+    from .operators.badjson import limit_error_count
+
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.select(
+        F.when(
+            F.col("event_type") == "error",
+            F.lit("Limit of total fields [200] has been exceeded"),
+        )
+        .otherwise(F.lit("mapper_parsing_exception"))
+        .alias("error")
+    )
+    return limit_error_count(errs)
+
+
+SQL_LIMIT_ERROR_COUNT = """
+SELECT CAST(sum(CASE WHEN error SIMILAR TO '.*Limit.*has been exceeded.*' THEN 1 ELSE 0 END) AS BIGINT) AS index_limit_error
+FROM (
+  SELECT CASE WHEN event_type = 'error'
+              THEN 'Limit of total fields [200] has been exceeded'
+              ELSE 'mapper_parsing_exception' END AS error
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: streaming, binary plumbing,
+# checkpoint lineage — the driver records weaker rows-only checks;
+# cross-validation lives in tests/)
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns: container parse + byte features via
+    mapInPandas (decode stubbed per brief; plumbing real)."""
+    from .operators import multimodal as MM
+
+    return MM.extract_metadata(MM.synth_assets(spark, n=96)).select(
+        "asset_id", "kind", "width", "height", "n_frames", "payload_bytes"
+    )
+
+
+def q_index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed build lineage (S14/S15 analogs): deterministic
+    columns of _checkpoints after a full tiny build."""
+    import tempfile
+
+    from .config import EngineConfig, IndexConfig
+    from .index_store import build_index
+    from .sources.transcripts import synth_transcripts
+
+    key = "lineage"
+    if key not in _IDX_CACHE:
+        cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=512, term_buckets=8))
+        path = tempfile.mkdtemp(prefix="engine-contract-lineage-")
+        tr = synth_transcripts(spark, n_convs=20, seed=5, with_anomalies=True)
+        _IDX_CACHE[key] = build_index(spark, tr, path, cfg, ranges_per_batch=2)
+    idx = _IDX_CACHE[key]
+    return idx.checkpoints.select(
+        "stage", "partition_id", "status", "turns", "postings_emitted", "terms_finalized"
+    )
+
+
+def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental build -> decoded postings
+    (equality with the batch build is asserted in tests/)."""
+    import tempfile
+
+    from .config import EngineConfig, IndexConfig
+    from .sources.transcripts import synth_transcripts
+    from .streaming.stream_build import incremental_index_build
+    from .index_store import InvertedIndex
+
+    key = "stream"
+    if key not in _IDX_CACHE:
+        cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=512, term_buckets=8))
+        in_dir = tempfile.mkdtemp(prefix="engine-contract-simp-")
+        idx_dir = tempfile.mkdtemp(prefix="engine-contract-sidx-")
+        cp_dir = tempfile.mkdtemp(prefix="engine-contract-scp-")
+        tr = synth_transcripts(spark, n_convs=12, seed=9, with_anomalies=False)
+        tr.coalesce(2).write.mode("overwrite").parquet(in_dir)
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, cfg, available_now=True)
+        _IDX_CACHE[key] = InvertedIndex(spark, idx_dir, cfg)
+    return _IDX_CACHE[key].postings().select("term", "doc_id", "tf")
+
+
 # ---------------------------------------------------------------------------
 # relational capability demos (join strategy: broadcast dims, window top-k)
 
@@ -696,6 +826,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_embed_neardup_pairs": q_embed_neardup_pairs,
+    "q_badrow_normalize": q_badrow_normalize,
+    "q_limit_error_count": q_limit_error_count,
+    # rows-only (non-SQL-expressible; cross-validated in tests/)
+    "q_multimodal_metadata": q_multimodal_metadata,
+    "q_index_lineage": q_index_lineage,
+    "q_streaming_postings": q_streaming_postings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -723,4 +859,6 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "q_ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
+    "q_badrow_normalize": SQL_BADROW_NORMALIZE,
+    "q_limit_error_count": SQL_LIMIT_ERROR_COUNT,
 }
