@@ -30,13 +30,15 @@ def main() -> None:
     spark = get_spark(args.master, app_name="bm25-query")
     spark.sparkContext.setLogLevel("WARN")
     from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
-    from snowplow_elasticsearch_loader_spark.operators import bm25, wand
+    from snowplow_elasticsearch_loader_spark.operators import bm25
 
     idx = InvertedIndex(spark, args.index, DEFAULT_CONFIG)
     queries = [(f"q{i}", q) for i, q in enumerate(args.query)]
     t0 = time.time()
     if args.path == "wand":
-        res = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), queries, k=args.k)
+        from snowplow_elasticsearch_loader_spark.operators.query_engine import QueryEngine
+
+        res = QueryEngine(idx, warm=True).search(queries, k=args.k)
     else:
         posts = idx.postings().select("term", "doc_id", "tf")
         from snowplow_elasticsearch_loader_spark.operators.postings import term_stats

@@ -147,6 +147,19 @@ def test_badrows_routed(idx):
     assert idx.documents.select("conv_id", "turn_idx").distinct().count() == n_docs
 
 
+def test_query_engine_warm_matches_wand(spark, idx):
+    from snowplow_elasticsearch_loader_spark.operators.query_engine import QueryEngine
+
+    engine = QueryEngine(idx, CFG, warm=True)
+    cold = QueryEngine(idx, CFG, warm=False)
+    fast = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), QUERIES, k=10, cfg=CFG)
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert key(engine.search(QUERIES, k=10).collect()) == key(fast.collect())
+    assert key(cold.search(QUERIES, k=10).collect()) == key(fast.collect())
+    # absent-only query -> empty result, no job failure
+    assert engine.search([("none", "zzzz qqqq")], k=5).count() == 0
+
+
 def test_size_violation_routed(spark):
     from snowplow_elasticsearch_loader_spark.operators.docs import split_good_bad
 
