@@ -176,6 +176,46 @@ def build_blocks_only(
     return idx
 
 
+def compact_index(
+    idx: InvertedIndex,
+    cfg: EngineConfig | None = None,
+) -> InvertedIndex:
+    """Segment compaction (Lucene merge analog): decode all posting
+    blocks, regroup under the (possibly larger) ``docs_per_range`` of
+    ``cfg``, k-way merge, and atomically swap the blocks + termdict
+    tables. Streamed indexes accumulate one small doc range per
+    micro-batch; compaction restores full-size blocks and prunes the
+    range partition count.
+    """
+    cfg = (cfg or idx.cfg).validate()
+    spark = idx.spark
+    ensure_shipped(spark)
+    _, avgdl = idx.corpus()
+    staging_blocks = os.path.join(idx.path, "_blocks_compact")
+    decoded = index_build.decode_blocks(idx.blocks)
+    index_build.rebuild_blocks_from_postings(decoded, avgdl, cfg).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket", "range_id").parquet(staging_blocks)
+    staged = spark.read.parquet(staging_blocks)
+    index_build.termdict_from_blocks(staged).write.mode("overwrite").parquet(
+        os.path.join(idx.path, "termdict")
+    )
+    final_blocks = os.path.join(idx.path, "blocks")
+    old = os.path.join(idx.path, "_blocks_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(final_blocks, old)
+    os.replace(staging_blocks, final_blocks)
+    shutil.rmtree(old, ignore_errors=True)
+    out = InvertedIndex(spark, idx.path, cfg)
+    _append(
+        spark,
+        os.path.join(idx.path, "_checkpoints"),
+        [("compact", 0, "done", 0, 0, 0, 0, time.time(), time.time())],
+        CHECKPOINT_SCHEMA,
+    )
+    return out
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -235,6 +235,24 @@ def build_blocks_df(
     )
 
 
+def rebuild_blocks_from_postings(
+    postings: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(term, doc_id, tf, doclen) -> compressed blocks under cfg's
+    layout. Used by segment compaction: decoded postings of many small
+    doc ranges (streamed micro-batch segments) are re-grouped under a
+    larger ``docs_per_range`` and k-way merged back into full blocks —
+    the Lucene segment-merge analog."""
+    keyed = postings.withColumn(
+        "term_bucket", term_bucket_col("term", cfg.index.term_buckets)
+    ).withColumn(
+        "range_id", (F.col("doc_id") / F.lit(cfg.index.docs_per_range)).cast("long")
+    )
+    return keyed.groupBy("term_bucket", "range_id").applyInPandas(
+        make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
+    )
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """Inverse mapping: blocks -> (term, doc_id, tf, doclen) postings.
     The M2 invariant: this must equal the M1 relational postings."""

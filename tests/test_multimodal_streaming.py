@@ -105,6 +105,56 @@ def test_streaming_incremental_build_matches_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compaction_preserves_postings_and_ranking(spark):
+    """Streamed index (one small doc range per micro-batch) -> compact
+    under a larger docs_per_range -> identical postings, identical
+    WAND results, fewer ranges."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+    from snowplow_elasticsearch_loader_spark.config import EngineConfig, IndexConfig
+    from snowplow_elasticsearch_loader_spark.index_store import compact_index, InvertedIndex
+    from snowplow_elasticsearch_loader_spark.operators import wand
+
+    in_dir = tempfile.mkdtemp(prefix="compact-in-")
+    idx_dir = tempfile.mkdtemp(prefix="compact-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="compact-cp-")
+    small = EngineConfig(index=IndexConfig(block_size=8, docs_per_range=128, term_buckets=8))
+    try:
+        tr = synth_transcripts(spark, n_convs=16, seed=21, with_anomalies=False)
+        a = tr.filter(F.col("conv_id") < "conv-00000008")
+        b = tr.filter(F.col("conv_id") >= "conv-00000008")
+        a.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b0")
+        b.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+        files = sorted(glob.glob(in_dir + "/b*/part-*.parquet"))
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(in_dir, f"{i:04d}.parquet"))
+        shutil.rmtree(in_dir + "/b0"), shutil.rmtree(in_dir + "/b1")
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, small, available_now=True)
+        idx = InvertedIndex(spark, idx_dir, small)
+        before = idx.postings().select("term", "doc_id", "tf")
+        before_rows = sorted(map(tuple, before.collect()))
+        qs = [("c-1", "error the tool"), ("c-2", "agent plan")]
+        res_before = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), qs, k=5, cfg=small).collect()
+        n_ranges_before = idx.blocks.select("range_id").distinct().count()
+
+        big = EngineConfig(index=IndexConfig(block_size=64, docs_per_range=4096, term_buckets=8))
+        idx2 = compact_index(idx, big)
+        after_rows = sorted(map(tuple, idx2.postings().select("term", "doc_id", "tf").collect()))
+        assert after_rows == before_rows
+        n_ranges_after = idx2.blocks.select("range_id").distinct().count()
+        assert n_ranges_after < n_ranges_before
+        res_after = wand.wand_topk(idx2.blocks, idx2.termdict, idx2.corpus(), qs, k=5, cfg=big).collect()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+        assert key(res_after) == key(res_before)
+        # compaction checkpointed
+        assert "compact" in {r["stage"] for r in idx2.checkpoints.collect()}
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_rollup_watermarked(spark):
     in_dir = tempfile.mkdtemp(prefix="stream-roll-")
     try:
