@@ -476,8 +476,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS INT) AS n_bpe_tokens
 FROM documents
 """
 
@@ -494,8 +494,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       length(text) AS n_chars,
-       len(toks) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
        round(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / nullif(length(text),0), 6) AS punct_ratio,
        round(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is'))) / nullif(len(toks),0), 6) AS stopword_ratio,
        round(list_sum(list_transform(toks, x -> length(x))) / nullif(len(toks),0), 6) AS avg_token_len
