@@ -778,6 +778,63 @@ SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1) with the offline-trained coarse quantizer."""
+    from .operators.ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), IVF_CENTROIDS, k=10, exclude_id=0)
+
+
+def _sql_ann_ivf_topk() -> str:
+    from .operators.ivf_centroids import IVF_CENTROIDS
+
+    K = len(IVF_CENTROIDS)
+
+    def arr(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+
+    def dots(expr):
+        return [f"list_inner_product({expr}, {arr(c)})" for c in IVF_CENTROIDS]
+
+    def cell_case(ds):
+        whens = []
+        for j in range(K):
+            conds = []
+            for m in range(K):
+                if m == j:
+                    continue
+                op = ">" if m < j else ">="
+                conds.append(f"{ds[j]} {op} {ds[m]}")
+            whens.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+        return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qcell AS (SELECT {cell_case(dots('qv'))} AS c FROM q),
+in_cell AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings CROSS JOIN qcell
+  WHERE vec_id <> 0 AND ({cell_case(dots('embedding::DOUBLE[]'))}) = qcell.c
+),
+scored AS (
+  SELECT vec_id,
+         round(list_inner_product(v, q.qv)
+               / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM in_cell CROSS JOIN q
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank, vec_id, cos_sim
+  FROM scored
+)
+SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
+
+
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import neardup_pairs
 
@@ -825,6 +882,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_embed_neardup_pairs": q_embed_neardup_pairs,
     "q_badrow_normalize": q_badrow_normalize,
     "q_limit_error_count": q_limit_error_count,
@@ -858,6 +916,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_simhash": SQL_SIMHASH,
     "q_ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "q_ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
     "q_badrow_normalize": SQL_BADROW_NORMALIZE,
     "q_limit_error_count": SQL_LIMIT_ERROR_COUNT,

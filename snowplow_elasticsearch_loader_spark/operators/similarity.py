@@ -155,6 +155,55 @@ def neardup_pairs(
     )
 
 
+def ivf_cell_col(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """IVF coarse-quantizer cell: argmax_j dot(v, c_j), ties resolved
+    to the lowest cell index via an ordered CASE chain (the DuckDB twin
+    implements the identical chain)."""
+    dots = [dot_expr(vec, _lit_array(c)) for c in centroids]
+    cell = None
+    for j in range(len(dots) - 1, -1, -1):
+        cond = None
+        for m in range(len(dots)):
+            if m == j:
+                continue
+            c = dots[j] >= dots[m] if m > j else dots[j] > dots[m]
+            cond = c if cond is None else (cond & c)
+        cell = F.when(cond, F.lit(j)) if cell is None else cell.when(cond, F.lit(j))
+    return cell.otherwise(F.lit(0))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN (nprobe=1): restrict the exact cosine top-k to the
+    query's coarse cell. The quantizer is a static trained artifact
+    (ivf_centroids.py); at corpus scale the cell column is materialized
+    as a partition key so the scan prunes instead of filtering."""
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    qcell = _argmax_cell(qvec, centroids)
+    in_cell = df.filter(ivf_cell_col(_as_double(vec_col), centroids) == qcell)
+    return cosine_topk(in_cell, qvec, k, None, id_col, vec_col)
+
+
+def _argmax_cell(vec: Sequence[float], centroids: Sequence[Sequence[float]]) -> int:
+    best, best_d = 0, None
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(vec, c):
+            acc += float(x) * float(y)
+        if best_d is None or acc > best_d:
+            best, best_d = j, acc
+    return best
+
+
 def cosine_topk_vectorized(
     embeddings: DataFrame,
     qvec: Sequence[float],
