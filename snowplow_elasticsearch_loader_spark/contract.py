@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .config import DEFAULT_CONFIG
-from .functions.analyze import duckdb_tokens_expr, tokens_col
+from .functions.analyze import duckdb_tokens_expr
 from .operators import bm25, postings as P
 from .queryset import DEFAULT_K, REFERENCE_QUERIES, queries_sql_values
 from .sources import load_table

@@ -19,18 +19,17 @@ Reference dataflow being mirrored (SURVEY S3/S5/S11/S13, E3/E5/E6):
 
 Deterministic doc ids (SURVEY §7-hard #2): ``monotonically_increasing_id``
 is partition-dependent, and a global ``row_number()`` window is a
-single-partition bottleneck at 10^12 rows. We use the scalable two-pass
-pattern: range-repartition by the natural key, sort within partitions,
-count rows per partition (one tiny job), then assign
-``offset[pid] + local_rank`` inside ``mapInPandas`` — identical output
-at any parallelism level, no global shuffle to one task.
+single-partition bottleneck at 10^12 rows. We use a scalable two-pass
+pattern with VALUE-derived buckets (see ``assign_doc_ids``): explicit
+driver-collected range boundaries, per-bucket distinct-key counts ->
+offsets, then a per-bucket windowed dense rank — identical output at
+any parallelism level, no global shuffle to one task, all JVM-side.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, NamedTuple
+from typing import NamedTuple
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -174,11 +173,10 @@ def assign_doc_ids(
     1. sample keys once, collect boundaries driver-side (deterministic
        for the life of this call; ranks are invariant to the boundary
        choice anyway);
-    2. bucket rows by value (vectorized searchsorted against the
-       broadcast boundaries) — bucket identity lives in the DATA, so
-       any recomputation agrees;
-    3. count rows per bucket -> cumulative offsets (tiny collect);
-    4. per-bucket grouped map: sort by key, doc_id = offset + position.
+    2. bucket rows by value (count of boundaries <= key) — bucket
+       identity lives in the DATA, so any recomputation agrees;
+    3. count (distinct) keys per bucket -> cumulative offsets;
+    4. per-bucket window: doc_id = offset + dense_rank(key) - 1.
 
     No global single-partition window; every pass is fully parallel.
     Output is identical at any parallelism level.

@@ -16,12 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from oracle.bm25 import OracleIndex
-from snowplow_elasticsearch_loader_spark.config import (
-    BM25Config,
-    EngineConfig,
-    IndexConfig,
-    LimitsConfig,
-)
+from snowplow_elasticsearch_loader_spark.config import EngineConfig, IndexConfig, LimitsConfig
 from snowplow_elasticsearch_loader_spark.index_store import build_index
 from snowplow_elasticsearch_loader_spark.operators import bm25, wand
 from snowplow_elasticsearch_loader_spark.operators.docs import assign_doc_ids

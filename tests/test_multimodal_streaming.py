@@ -112,7 +112,6 @@ def test_compaction_preserves_postings_and_ranking(spark):
     import glob
     import os
 
-    from pyspark.sql import functions as F2
     from snowplow_elasticsearch_loader_spark.config import EngineConfig, IndexConfig
     from snowplow_elasticsearch_loader_spark.index_store import compact_index, InvertedIndex
     from snowplow_elasticsearch_loader_spark.operators import wand

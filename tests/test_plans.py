@@ -7,11 +7,6 @@ checks at sf0.01 but regress at 100 TB — so the plan itself is tested.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
-import pytest
-
 from snowplow_elasticsearch_loader_spark import contract as C
 from snowplow_elasticsearch_loader_spark.plans import assert_in_plan, assert_not_in_plan
 
