@@ -144,6 +144,106 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 SQL_BM25_TOPK = _sql_bm25()
 
 
+def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only issued query: match-all with a size cap
+    (GET /{index}/_search?size=N, it/TestHelpers.scala:162-165) —
+    deterministic order by doc id."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
+
+
+SQL_MATCH_ALL = "SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100"
+
+
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (bool-must / AND) BM25 top-k: only docs containing
+    ALL query terms are scored (ES bool query semantics)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    )
+    # count matched distinct terms per (query, doc) and keep full matches
+    qterms = [
+        (qid, t)
+        for qid, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)
+    ]
+    qt = spark.createDataFrame(qterms, "query_id string, term string")
+    need = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("need"))
+    have = (
+        posts.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("have"))
+    )
+    full = have.join(F.broadcast(need), "query_id").filter(F.col("have") == F.col("need"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.drop("rank")
+        .join(full.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_bm25_and(k: int = DEFAULT_K) -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+need AS (SELECT query_id, count(*) AS need FROM qterms GROUP BY query_id),
+have AS (
+  SELECT q.query_id, p.doc_id, count(*) AS have
+  FROM qterms q JOIN postings p USING (term)
+  GROUP BY q.query_id, p.doc_id
+),
+full_match AS (
+  SELECT h.query_id, h.doc_id FROM have h JOIN need n USING (query_id)
+  WHERE h.have = n.need
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT c.query_id, c.doc_id, round(sum(c.contrib), 6) AS score
+  FROM contribs c JOIN full_match fm ON c.query_id = fm.query_id AND c.doc_id = fm.doc_id
+  GROUP BY c.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_BM25_AND_TOPK = _sql_bm25_and()
+
+
 # ---------------------------------------------------------------------------
 # physical index: compressed blocks + block-max WAND (SURVEY M2/M3)
 # Both queries run over the REAL persisted index (built on demand into a
@@ -864,6 +964,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_stats": q_term_stats,
     "q_corpus_stats": q_corpus_stats,
     "q_bm25_topk": q_bm25_topk,
+    "q_bm25_and_topk": q_bm25_and_topk,
+    "q_match_all": q_match_all,
     "q_postings_blocks_decode": q_postings_blocks_decode,
     "q_bm25_topk_wand": q_bm25_topk_wand,
     "q_shard_routing": q_shard_routing,
@@ -898,6 +1000,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_term_stats": SQL_TERM_STATS,
     "q_corpus_stats": SQL_CORPUS_STATS,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_bm25_and_topk": SQL_BM25_AND_TOPK,
+    "q_match_all": SQL_MATCH_ALL,
     "q_postings_blocks_decode": SQL_POSTINGS_TF,
     "q_bm25_topk_wand": SQL_BM25_TOPK,
     "q_shard_routing": SQL_SHARD_ROUTING,
