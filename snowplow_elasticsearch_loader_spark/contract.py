@@ -244,6 +244,110 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 SQL_BM25_AND_TOPK = _sql_bm25_and()
 
 
+#: phrase query set (ES match_phrase analog): analyzer-normalized
+#: token-sequence containment, BM25-scored over the phrase's terms
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p-0001", "merge sort"),
+    ("p-0002", "the customer"),
+    ("p-0003", "hash join order"),
+    ("p-0004", "zzzz missing phrase"),
+]
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase: candidate docs must contain the analyzed token
+    sequence contiguously (normalized-text containment — the relational
+    equivalent of positional-postings adjacency), ranked by BM25 over
+    the phrase terms."""
+    from .functions.analyze import tokens_col
+    from .operators.bm25 import analyze_queries
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, PHRASE_QUERIES, k=1_000_000_000, cfg=CFG
+    )
+    norm = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")).alias("norm"),
+    )
+    phrase_rows = []
+    for qid, qtext in PHRASE_QUERIES:
+        toks = [t for _, t, _ in analyze_queries([(qid, qtext)]) ]
+        # analyze_queries dedups; rebuild the ordered phrase instead
+        from .functions.analyze import tokenize_text
+
+        phrase_rows.append((qid, " " + " ".join(tokenize_text(qtext)) + " "))
+    phrases = spark.createDataFrame(phrase_rows, "query_id string, phrase string")
+    matches = norm.crossJoin(F.broadcast(phrases)).filter(
+        F.expr("contains(norm, phrase)")
+    ).select("query_id", "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.drop("rank")
+        .join(matches, ["query_id", "doc_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_phrase(k: int = DEFAULT_K) -> str:
+    from .functions.analyze import tokenize_text
+
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(
+        "('{}', '{}', ' {} ')".format(qid, qtext.replace("'", "''"), " ".join(tokenize_text(qtext)))
+        for qid, qtext in PHRASE_QUERIES
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qraw AS (SELECT * FROM (VALUES {rows}) AS t(query_id, query_text, phrase)),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+normed AS (
+  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+'), ' ') || ' ' AS norm
+  FROM documents
+),
+matches AS (
+  SELECT q.query_id, n.doc_id
+  FROM qraw q JOIN normed n ON contains(n.norm, q.phrase)
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT c.query_id, c.doc_id, round(sum(c.contrib), 6) AS score
+  FROM contribs c JOIN matches mm ON c.query_id = mm.query_id AND c.doc_id = mm.doc_id
+  GROUP BY c.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_PHRASE_TOPK = _sql_phrase()
+
+
 # ---------------------------------------------------------------------------
 # physical index: compressed blocks + block-max WAND (SURVEY M2/M3)
 # Both queries run over the REAL persisted index (built on demand into a
@@ -966,6 +1070,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_and_topk": q_bm25_and_topk,
     "q_match_all": q_match_all,
+    "q_phrase_topk": q_phrase_topk,
     "q_postings_blocks_decode": q_postings_blocks_decode,
     "q_bm25_topk_wand": q_bm25_topk_wand,
     "q_shard_routing": q_shard_routing,
@@ -1002,6 +1107,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_bm25_and_topk": SQL_BM25_AND_TOPK,
     "q_match_all": SQL_MATCH_ALL,
+    "q_phrase_topk": SQL_PHRASE_TOPK,
     "q_postings_blocks_decode": SQL_POSTINGS_TF,
     "q_bm25_topk_wand": SQL_BM25_TOPK,
     "q_shard_routing": SQL_SHARD_ROUTING,
