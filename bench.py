@@ -61,8 +61,10 @@ HEADLINE = [
     "q_top_customers",
 ]
 
+# fewer output partition dirs (16 buckets x ~26 ranges) cuts the serial
+# file-commit overhead that dominates small-corpus scaling on this host
 BUILD_CFG = EngineConfig(
-    index=IndexConfig(block_size=128, docs_per_range=1 << 14, term_buckets=32)
+    index=IndexConfig(block_size=128, docs_per_range=1 << 15, term_buckets=16)
 )
 
 
@@ -168,7 +170,7 @@ def main() -> None:
     # min wall time is the least-contended estimate of true cost.
     corpus = corpus_path()
     small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
-    reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    reps = int(os.environ.get("BENCH_BUILD_REPS", "3"))
     dts_small, dts_big = [], []
     n_turns = 0
     dir_small = dir_big = None
