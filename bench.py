@@ -44,7 +44,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "24000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "16000"))
 BENCH_SEED = 42
 
 #: headline operator queries run at the SF dir (subset of the contract
