@@ -29,6 +29,8 @@ reference's counters (core/Metrics.scala:40-45).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 import time
@@ -54,8 +56,30 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("terms_finalized", T.LongType()),
         T.StructField("started_ts", T.DoubleType()),
         T.StructField("finished_ts", T.DoubleType()),
+        # identity of the input the stage consumed: Iceberg snapshot id
+        # when the source is an Iceberg table, else a fingerprint of the
+        # scan's file listing. Resume refuses to continue a build whose
+        # input changed underneath it (SURVEY §1.4 resume key).
+        T.StructField("snapshot_id", T.StringType()),
     ]
 )
+
+
+def input_snapshot(df) -> str:
+    """Stable identity of a DataFrame's source snapshot.
+
+    For file-based scans (parquet/Iceberg data files) this is a sha256
+    over the sorted input-file listing — any added/removed/rewritten
+    file changes it. In-memory frames have no file identity and return
+    'inmemory' (resume validation skips those).
+    """
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return "inmemory"
+    if not files:
+        return "inmemory"
+    return "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:24]
 
 METRICS_SCHEMA = T.StructType(
     [
@@ -78,8 +102,21 @@ class InvertedIndex:
     def __post_init__(self) -> None:
         ensure_shipped(self.spark)
 
+    def _resolve(self, name: str) -> str:
+        """Physical dir for a logical table. ``blocks``/``termdict`` go
+        through the manifest pointer when one exists (compaction swaps
+        both with ONE small-file write instead of directory renames —
+        the object-store-safe commit primitive)."""
+        if name in ("blocks", "termdict"):
+            man = os.path.join(self.path, "_manifest.json")
+            if os.path.exists(man):
+                with open(man) as fh:
+                    m = json.load(fh)
+                return os.path.join(self.path, m.get(name, name))
+        return os.path.join(self.path, name)
+
     def _t(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, name))
+        return self.spark.read.parquet(self._resolve(name))
 
     @property
     def documents(self) -> DataFrame:
@@ -182,35 +219,50 @@ def compact_index(
 ) -> InvertedIndex:
     """Segment compaction (Lucene merge analog): decode all posting
     blocks, regroup under the (possibly larger) ``docs_per_range`` of
-    ``cfg``, k-way merge, and atomically swap the blocks + termdict
-    tables. Streamed indexes accumulate one small doc range per
-    micro-batch; compaction restores full-size blocks and prunes the
-    range partition count.
+    ``cfg``, k-way merge, and swap the blocks + termdict tables.
+
+    The swap is rename-free (object-store/HDFS-safe): new blocks AND the
+    termdict built FOR THEM are written to fresh versioned dirs
+    (``blocks_v<N>``, ``termdict_v<N>``); one small manifest-file write
+    then flips both pointers together — a crash at any point leaves a
+    consistent (old, old) or (new, new) pair, never a termdict whose
+    bucket layout disagrees with the live blocks. Superseded dirs are
+    garbage-collected best-effort afterwards.
     """
     cfg = (cfg or idx.cfg).validate()
     spark = idx.spark
     ensure_shipped(spark)
+    t0 = time.time()
     _, avgdl = idx.corpus()
-    staging_blocks = os.path.join(idx.path, "_blocks_compact")
+    man_path = os.path.join(idx.path, "_manifest.json")
+    cur = {"blocks": "blocks", "termdict": "termdict", "version": 0}
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            cur = json.load(fh)
+    v = int(cur.get("version", 0)) + 1
+    new_blocks, new_td = f"blocks_v{v}", f"termdict_v{v}"
     decoded = index_build.decode_blocks(idx.blocks)
     index_build.rebuild_blocks_from_postings(decoded, avgdl, cfg).write.mode(
         "overwrite"
-    ).partitionBy("term_bucket", "range_id").parquet(staging_blocks)
-    staged = spark.read.parquet(staging_blocks)
+    ).partitionBy("term_bucket", "range_id").parquet(os.path.join(idx.path, new_blocks))
+    staged = spark.read.parquet(os.path.join(idx.path, new_blocks))
     index_build.termdict_from_blocks(staged).write.mode("overwrite").parquet(
-        os.path.join(idx.path, "termdict")
+        os.path.join(idx.path, new_td)
     )
-    final_blocks = os.path.join(idx.path, "blocks")
-    old = os.path.join(idx.path, "_blocks_old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(final_blocks, old)
-    os.replace(staging_blocks, final_blocks)
-    shutil.rmtree(old, ignore_errors=True)
+    # pointer flip: single-file replace — the local-FS analog of an
+    # atomic object PUT; no directory rename anywhere in the commit path
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"blocks": new_blocks, "termdict": new_td, "version": v}, fh)
+    os.replace(tmp, man_path)
+    for name in (cur.get("blocks"), cur.get("termdict")):
+        if name:
+            shutil.rmtree(os.path.join(idx.path, name), ignore_errors=True)
     out = InvertedIndex(spark, idx.path, cfg)
     _append(
         spark,
         os.path.join(idx.path, "_checkpoints"),
-        [("compact", 0, "done", 0, 0, 0, 0, time.time(), time.time())],
+        [("compact", v, "done", 0, 0, 0, 0, t0, time.time(), f"manifest:v{v}")],
         CHECKPOINT_SCHEMA,
     )
     return out
@@ -236,8 +288,30 @@ def build_index(
     docs_path = os.path.join(path, "documents")
     pending_metrics: list[tuple] = []
 
+    # ---- resume identity: refuse to resume against a changed input ----
+    snap = input_snapshot(transcripts)
+    docs_done = 0 in _done_partitions(spark, path, "documents")
+    if docs_done:
+        prev = (
+            spark.read.parquet(os.path.join(path, "_checkpoints"))
+            .filter((F.col("stage") == "documents") & (F.col("status") == "done"))
+            .select("snapshot_id")
+            .collect()
+        )
+        prev_snap = prev[0]["snapshot_id"] if prev else None
+        if (
+            prev_snap
+            and "inmemory" not in (prev_snap, snap)
+            and prev_snap != snap
+        ):
+            raise ValueError(
+                "resume rejected: input snapshot changed since the checkpointed "
+                f"build ({prev_snap} -> {snap}); resume requires the original "
+                "input, or build into a fresh path"
+            )
+
     # ---- stage 0: document prep (good/bad split, dedup, doc ids) ----
-    if 0 not in _done_partitions(spark, path, "documents"):
+    if not docs_done:
         t0 = time.time()
         # ONE tokenize pass: stage validated rows (+doclen, +_error) to
         # parquet; badrow routing, id assignment, the doc store, and doc
@@ -279,7 +353,7 @@ def build_index(
         _append(
             spark,
             os.path.join(path, "_checkpoints"),
-            [("documents", 0, "done", n_good, 0, 0, 0, t0, time.time())],
+            [("documents", 0, "done", n_good, 0, 0, 0, t0, time.time(), snap)],
             CHECKPOINT_SCHEMA,
         )
         shutil.rmtree(staging, ignore_errors=True)
@@ -339,6 +413,7 @@ def build_index(
                 int(stats["terms"]),
                 t0,
                 time.time(),
+                snap,
             )
             for r in batch
         ]
@@ -367,7 +442,7 @@ def build_index(
         _append(
             spark,
             os.path.join(path, "_checkpoints"),
-            [("finalize", 0, "done", 0, 0, 0, n_terms, t0, time.time())],
+            [("finalize", 0, "done", 0, 0, 0, n_terms, t0, time.time(), snap)],
             CHECKPOINT_SCHEMA,
         )
     if pending_metrics:

@@ -51,6 +51,13 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType()),
         T.StructField("last_doc", T.LongType()),
         T.StructField("max_score_partial", T.DoubleType()),
+        # avgdl-independent block-max stats: the query-time upper bound
+        # is computed from (max_tf, min_dl) with the CURRENT corpus
+        # avgdl, so streamed/merged blocks never carry a stale bound
+        # (partial score is increasing in tf, decreasing in dl, hence
+        # partial(max_tf, min_dl) >= max over the block for any avgdl).
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_dl", T.IntegerType()),
         T.StructField("docs_varint", T.BinaryType()),
         T.StructField("tfs_varint", T.BinaryType()),
         T.StructField("dls_varint", T.BinaryType()),
@@ -169,6 +176,8 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
             tfd + k1 * ((1.0 - b) + b * dl.astype(np.float64) / avgdl)
         )
         max_partial = np.maximum.reduceat(partial, bstart)
+        max_tf_b = np.maximum.reduceat(tf, bstart).astype(np.int64)
+        min_dl_b = np.minimum.reduceat(dl, bstart).astype(np.int64)
 
         out = pd.DataFrame(
             {
@@ -181,6 +190,8 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
                 "first_doc": doc[bstart].astype(np.int64),
                 "last_doc": doc[bend - 1].astype(np.int64),
                 "max_score_partial": max_partial,
+                "max_tf": max_tf_b.astype(np.int32),
+                "min_dl": min_dl_b.astype(np.int32),
                 "docs_varint": [
                     doc_bytes[doc_off[s] : doc_off[e]] for s, e in zip(bstart, bend)
                 ],

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..index_store import InvertedIndex
 from .bm25 import analyze_queries, idf as idf_fn
-from .wand import RESULT_SCHEMA, make_wand_evaluator
+from .wand import RESULT_SCHEMA, WAND_INPUT_COLS, make_wand_evaluator
 
 
 class QueryEngine:
@@ -79,6 +79,7 @@ class QueryEngine:
         cand = (
             self.blocks.filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(sorted(tmap)))
+            .select(*WAND_INPUT_COLS)
             .join(F.broadcast(qterms), "term")
         )
         per_range = cand.groupBy("query_id", "range_id").applyInPandas(

@@ -18,7 +18,9 @@ surface, ES ``_search`` — it/TestHelpers.scala:157-201):
 The pruning phase is the block-max idea vectorized for numpy instead
 of the classic pointer-walking WAND loop (which would be per-row
 Python): decode *doc ids only* (cheap varint), compute every doc's
-score upper bound from per-block ``max_score_partial`` metadata with a
+score upper bound from per-block avgdl-independent stats
+(``max_tf``, ``min_dl`` — the bound is evaluated with the query-time
+avgdl, so streamed/merged blocks never carry a stale bound) with a
 segment reduce, establish a threshold from exactly-scored
 highest-bound docs, and only then decode tf/doclen payloads for docs
 that can still make top-k. Safety argument: a doc with
@@ -42,6 +44,18 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import codec
 from .bm25 import analyze_queries, idf as idf_fn
+
+#: block columns the BM25 evaluator needs (column pruning contract —
+#: positional payloads and block metadata never cross the Arrow boundary)
+WAND_INPUT_COLS = [
+    "term",
+    "range_id",
+    "max_tf",
+    "min_dl",
+    "docs_varint",
+    "tfs_varint",
+    "dls_varint",
+]
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -83,6 +97,17 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
         w_by_code[t_codes] = pdf["w"].to_numpy()
 
         # ---- phase 1: doc-id-only decode + per-doc upper bounds ----
+        # Upper bound per block from avgdl-INDEPENDENT stats: the partial
+        # score (tf*(k1+1))/(tf + k1*((1-b)+b*dl/avgdl)) is increasing in
+        # tf and decreasing in dl, so partial(max_tf, min_dl) bounds every
+        # posting in the block under the CURRENT avgdl — safe even when
+        # blocks were built while the corpus (and its avgdl) was growing
+        # (streamed micro-batches). Exactly one (k1+1) factor.
+        mtf = pdf["max_tf"].to_numpy(np.float64)
+        mdl = pdf["min_dl"].to_numpy(np.float64)
+        ubs = pdf["w"].to_numpy() * (mtf * (k1 + 1.0)) / (
+            mtf + k1 * ((1.0 - b) + b * mdl / avgdl)
+        )
         blk_docs: list[np.ndarray] = []
         blk_code: list[np.ndarray] = []
         blk_ub: list[np.ndarray] = []
@@ -90,8 +115,7 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
             d = codec.delta_decode(codec.varint_decode(bytes(pdf["docs_varint"].iat[i])))
             blk_docs.append(d)
             blk_code.append(np.full(d.size, t_codes[i], dtype=np.int32))
-            ub = pdf["w"].iat[i] * (k1 + 1.0) * pdf["max_score_partial"].iat[i]
-            blk_ub.append(np.full(d.size, ub))
+            blk_ub.append(np.full(d.size, ubs[i]))
         doc = np.concatenate(blk_docs)
         code = np.concatenate(blk_code)
         ub = np.concatenate(blk_ub)
@@ -223,6 +247,7 @@ def wand_topk(
     cand = (
         blocks.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin([t for t in terms if t in df_map]))  # pushdown
+        .select(*WAND_INPUT_COLS)  # prune: no positions/metadata bytes cross Arrow
         .join(F.broadcast(qterms), "term")
     )
     per_range = cand.groupBy("query_id", "range_id").applyInPandas(

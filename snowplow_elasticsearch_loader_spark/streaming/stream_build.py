@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..index_store import CHECKPOINT_SCHEMA, InvertedIndex, _append
+from ..index_store import CHECKPOINT_SCHEMA, InvertedIndex, _append, _done_partitions
 from ..operators import index_build
 from ..operators.docs import assign_doc_ids, split_good_bad
 from ..operators.postings import doc_stats
@@ -59,48 +59,75 @@ def incremental_index_build(
 ):
     """Stream transcripts parquet dir -> incremental posting blocks.
 
-    Doc ids are assigned per micro-batch, offset by the persisted max
-    (stable because micro-batches are an ordered sequence; re-delivery
-    of a batch is idempotent via the streaming checkpoint). avgdl for
-    block max-score metadata uses the running corpus value and is
-    recomputed exactly at finalize.
+    Doc ids are assigned per micro-batch, offset by the persisted max.
+    ``foreachBatch`` is at-least-once, so every write in a batch must be
+    replay-idempotent:
+
+    - batch_ids already recorded ``done`` in ``_checkpoints`` are skipped
+      outright (exactly-once effect for fully-committed batches);
+    - every table this sink appends to (documents, _badrows, docstats)
+      carries a ``batch_seg`` partition column and is written with
+      dynamic partition OVERWRITE — a replay of a crashed-mid-batch
+      attempt rewrites exactly its own partitions, never duplicating
+      rows or colliding doc_ids (assign_doc_ids is deterministic, so the
+      replay assigns the same ids);
+    - posting blocks land in (term_bucket, range_id) partitions that are
+      exclusive to the batch by construction (each batch starts at a
+      fresh doc-range boundary), so dynamic overwrite is idempotent
+      there too;
+    - the ``_checkpoints`` row is appended LAST (checkpoint-after-
+      durable-write, the reference's ack ordering,
+      core/Processing.scala:80-84).
+
+    Block max-score stats (max_tf, min_dl) are avgdl-independent, so
+    blocks built while the corpus was still growing stay exact pruning
+    bounds under the final avgdl — finalize only refreshes corpus stats
+    and the term dictionary.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in _done_partitions(spark, index_dir, "stream_batch"):
+            return  # replayed fully-committed batch: exactly-once effect
         good, bad = split_good_bad(batch_df, cfg)
         # each micro-batch starts at a fresh doc-range boundary so its
         # blocks land in exclusive (term_bucket, range_id) partitions —
-        # append-only, no block_id collisions across batches (the
-        # streaming analog of one ES index segment per flush)
+        # no block_id collisions across batches (the streaming analog of
+        # one ES index segment per flush)
         nxt = _next_doc_id(spark, index_dir)
         dpr = cfg.index.docs_per_range
         offset = ((nxt + dpr - 1) // dpr) * dpr if nxt else 0
         with_ids = assign_doc_ids(good, dedup=True)
         docs = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
         t0 = time.time()
+        seg = F.lit(int(batch_id)).alias("batch_seg")
         docs_out = docs.select(
             "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
             F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
+            seg,
         )
-        docs_out.write.mode("append").partitionBy("shard_date").parquet(
+        docs_out.write.mode("overwrite").partitionBy("batch_seg", "shard_date").parquet(
             os.path.join(index_dir, "documents")
         )
-        bad.write.mode("append").parquet(os.path.join(index_dir, "_badrows"))
-        docs_w = spark.read.parquet(os.path.join(index_dir, "documents")).filter(
-            F.col("doc_id") >= offset
+        bad.select("*", seg).write.mode("overwrite").partitionBy("batch_seg").parquet(
+            os.path.join(index_dir, "_badrows")
         )
-        doc_stats(docs_w).write.mode("append").parquet(os.path.join(index_dir, "docstats"))
+        docs_w = spark.read.parquet(os.path.join(index_dir, "documents")).filter(
+            F.col("batch_seg") == int(batch_id)
+        )
+        doc_stats(docs_w).select("*", seg).write.mode("overwrite").partitionBy(
+            "batch_seg"
+        ).parquet(os.path.join(index_dir, "docstats"))
         ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
         row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
         avgdl = float(row["s"]) / float(row["n"]) if row["n"] else 1.0
-        index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode("append").partitionBy(
+        index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode("overwrite").partitionBy(
             "term_bucket", "range_id"
         ).parquet(os.path.join(index_dir, "blocks"))
         _append(
             spark,
             os.path.join(index_dir, "_checkpoints"),
-            [("stream_batch", int(batch_id), "done", int(row["n"]), 0, 0, 0, t0, time.time())],
+            [("stream_batch", int(batch_id), "done", int(row["n"]), 0, 0, 0, t0, time.time(), "stream")],
             CHECKPOINT_SCHEMA,
         )
 
@@ -123,18 +150,13 @@ def incremental_index_build(
 def finalize_streamed_index(
     spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> InvertedIndex:
-    """Exact corpus stats + termdict + block max-score refresh.
+    """Exact corpus stats + termdict refresh.
 
-    Streamed batches computed block max-scores against the avgdl known
-    at append time; finalize rebuilds blocks' metadata-dependent tables
-    exactly (termdict df/block counts are avgdl-independent; corpus avgdl
-    becomes exact here, and the query side always scores with THIS
-    value, so ranking stays exact — max_score_partial is only a pruning
-    upper bound and a stale-but-larger bound is still safe*).
-
-    *bounds can also shrink when avgdl grows; to stay safe the WAND
-    evaluator recomputes exact scores for every kept doc — block bounds
-    only gate decode work, never final scores (see wand.py).
+    No block-metadata rebuild is needed: the pruning stats stored per
+    block (max_tf, min_dl) are avgdl-INDEPENDENT, and the WAND evaluator
+    derives its upper bound from them with the query-time avgdl — so
+    blocks appended while the corpus (and its running avgdl) was growing
+    remain exact-safe bounds under the final avgdl computed here.
     """
     ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
     row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]

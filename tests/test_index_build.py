@@ -179,3 +179,31 @@ def test_doc_id_assignment_parallelism_independent(spark):
     n = tr.count()
     assert a.agg(F.min("doc_id"), F.max("doc_id")).collect()[0] == (0, n - 1)
     assert a.select("doc_id").distinct().count() == n
+
+
+def test_resume_rejects_changed_input(spark):
+    """Checkpoint rows record the input snapshot (file-listing
+    fingerprint / Iceberg snapshot id); resuming or re-running against a
+    mutated input must be refused instead of silently mixing corpora."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="engine-src-")
+    d = tempfile.mkdtemp(prefix="engine-idx-snap-")
+    try:
+        tr = synth_transcripts(spark, n_convs=12, seed=3, with_anomalies=False)
+        tr.coalesce(2).write.mode("overwrite").parquet(src)
+        tr_files = spark.read.parquet(src)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(spark, tr_files, d, CFG, ranges_per_batch=1, fail_after_batches=1)
+        # resume against the SAME files: allowed, completes
+        idx = build_index(spark, spark.read.parquet(src), d, CFG, ranges_per_batch=1)
+        snap_rows = idx.checkpoints.filter(F.col("stage") == "documents").collect()
+        assert snap_rows and snap_rows[0]["snapshot_id"].startswith("files:")
+        # mutate the input (extra file) and try again: rejected
+        extra = synth_transcripts(spark, n_convs=2, seed=99, with_anomalies=False)
+        extra.coalesce(1).write.mode("append").parquet(src)
+        with pytest.raises(ValueError, match="resume rejected"):
+            build_index(spark, spark.read.parquet(src), d, CFG)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)

@@ -149,6 +149,17 @@ def test_compaction_preserves_postings_and_ranking(spark):
         assert key(res_after) == key(res_before)
         # compaction checkpointed
         assert "compact" in {r["stage"] for r in idx2.checkpoints.collect()}
+        # rename-free commit: versioned dirs + manifest pointer, no
+        # directory swap artifacts anywhere
+        assert os.path.exists(os.path.join(idx_dir, "_manifest.json"))
+        assert os.path.isdir(os.path.join(idx_dir, "blocks_v1"))
+        assert not os.path.exists(os.path.join(idx_dir, "_blocks_old"))
+        assert not os.path.exists(os.path.join(idx_dir, "_blocks_compact"))
+        # a second compaction advances the version and stays consistent
+        idx3 = compact_index(idx2, big)
+        assert os.path.isdir(os.path.join(idx_dir, "blocks_v2"))
+        assert not os.path.exists(os.path.join(idx_dir, "blocks_v1"))
+        assert sorted(map(tuple, idx3.postings().select("term", "doc_id", "tf").collect())) == before_rows
     finally:
         for d in (in_dir, idx_dir, cp_dir):
             shutil.rmtree(d, ignore_errors=True)
@@ -235,3 +246,125 @@ def test_streaming_rollup_watermarked(spark):
         assert all(r["n_turns"] > 0 for r in rows)
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
+
+
+def test_streamed_block_bounds_safe_under_doclen_skew(spark):
+    """Adversarial avgdl drift: batch 0 is short docs, batch 1 is long
+    docs, so the running avgdl at each append differs wildly from the
+    final corpus avgdl. The stored per-block stats (max_tf, min_dl) must
+    yield a VALID upper bound under the FINAL avgdl — and WAND must stay
+    rank-identical to the naive path (the bug class where stale block
+    metadata prunes genuine top-k docs)."""
+    import glob
+    import os
+    from datetime import datetime
+
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_spark.functions import codec
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+    from snowplow_elasticsearch_loader_spark.operators import bm25, wand
+    from snowplow_elasticsearch_loader_spark.operators.postings import (
+        doc_stats,
+        term_stats,
+    )
+    from snowplow_elasticsearch_loader_spark.operators.postings import build_postings
+
+    in_dir = tempfile.mkdtemp(prefix="skew-in-")
+    idx_dir = tempfile.mkdtemp(prefix="skew-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="skew-cp-")
+    cfg = EngineConfig(index=IndexConfig(block_size=8, docs_per_range=512, term_buckets=8))
+    ts = datetime(2026, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    try:
+        # batch 0: 80 short docs (avgdl ~ 4); batch 1: 80 long docs
+        # (final avgdl ~ 52) — stale-avgdl bounds would undercount.
+        short = [
+            (f"a-{i:04d}", 0, "user", f"alpha beta w{i % 7} w{i % 11}", None, ts)
+            for i in range(80)
+        ]
+        long_ = [
+            (
+                f"b-{i:04d}",
+                0,
+                "user",
+                "alpha " * (2 + i % 5) + " ".join(f"pad{j}" for j in range(90)),
+                None,
+                ts,
+            )
+            for i in range(80)
+        ]
+        spark.createDataFrame(short, schema).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b0")
+        spark.createDataFrame(long_, schema).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+        files = sorted(glob.glob(in_dir + "/b*/part-*.parquet"))
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(in_dir, f"{i:04d}.parquet"))
+        shutil.rmtree(in_dir + "/b0"), shutil.rmtree(in_dir + "/b1")
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, cfg, available_now=True)
+        idx = InvertedIndex(spark, idx_dir, cfg)
+        _, avgdl = idx.corpus()
+        k1, b = cfg.bm25.k1, cfg.bm25.b
+
+        # 1) every block's stored (max_tf, min_dl) bounds its true max
+        #    partial contribution under the FINAL avgdl
+        for r in idx.blocks.collect():
+            _, tfs, dls = codec.decode_block(
+                bytes(r["docs_varint"]), bytes(r["tfs_varint"]), bytes(r["dls_varint"])
+            )
+            tfs, dls = tfs.astype(np.float64), dls.astype(np.float64)
+            true_max = ((tfs * (k1 + 1.0)) / (tfs + k1 * ((1 - b) + b * dls / avgdl))).max()
+            mtf, mdl = float(r["max_tf"]), float(r["min_dl"])
+            bound = (mtf * (k1 + 1.0)) / (mtf + k1 * ((1 - b) + b * mdl / avgdl))
+            assert bound >= true_max - 1e-12, (r["term"], r["block_id"], bound, true_max)
+
+        # 2) WAND over streamed blocks == naive relational (rank+score)
+        qs = [("sk-1", "alpha"), ("sk-2", "alpha beta")]
+        posts = build_postings(idx.documents)
+        naive = bm25.bm25_topk_naive(
+            posts, doc_stats(idx.documents), term_stats(posts), qs, k=10, cfg=cfg
+        ).collect()
+        fast = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), qs, k=10, cfg=cfg).collect()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+        assert key(naive) == key(fast)
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_batch_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: simulate a full replay (wipe the
+    streaming checkpoint, keep the index dir) — committed batch_ids must
+    be skipped via _checkpoints, leaving documents/postings unchanged."""
+    import glob
+    import os
+
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+
+    in_dir = tempfile.mkdtemp(prefix="replay-in-")
+    idx_dir = tempfile.mkdtemp(prefix="replay-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="replay-cp-")
+    try:
+        tr = synth_transcripts(spark, n_convs=10, seed=33, with_anomalies=False)
+        a = tr.filter(F.col("conv_id") < "conv-00000005")
+        b = tr.filter(F.col("conv_id") >= "conv-00000005")
+        a.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b0")
+        b.coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+        files = sorted(glob.glob(in_dir + "/b*/part-*.parquet"))
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(in_dir, f"{i:04d}.parquet"))
+        shutil.rmtree(in_dir + "/b0"), shutil.rmtree(in_dir + "/b1")
+
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        idx = InvertedIndex(spark, idx_dir, SCFG)
+        n_docs = idx.documents.count()
+        posts_before = sorted(map(tuple, idx.postings().select("term", "doc_id", "tf").collect()))
+        # replay from scratch: new streaming checkpoint, same index dir
+        shutil.rmtree(cp_dir, ignore_errors=True)
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        idx2 = InvertedIndex(spark, idx_dir, SCFG)
+        assert idx2.documents.count() == n_docs
+        posts_after = sorted(map(tuple, idx2.postings().select("term", "doc_id", "tf").collect()))
+        assert posts_after == posts_before
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
