@@ -39,13 +39,25 @@ from snowplow_elasticsearch_loader_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scratch space for the scaling measurement: this sandbox's /tmp sits on
+# a ~260 MB/s virtual disk while /dev/shm is multi-GB/s tmpfs — index
+# output + shuffle spill on the slow disk adds a parallelism-INDEPENDENT
+# term that corrupts the N-vs-4N ratio. Real clusters use local NVMe.
+BENCH_TMP = os.environ.get(
+    "BENCH_TMP", "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+)
 # N vs 4N cores for the scaling pair. Default 2 vs 8 (not 8 vs 32):
 # this host punishes >8-way concurrency (shared page-fault path), so
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "16000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
+#: small corpus used only to JIT-warm a fresh pinned JVM before timing
+WARM_CONVS = int(os.environ.get("BENCH_WARM_CONVS", "4000"))
 BENCH_SEED = 42
+#: first CPU id for pinned scaling runs — high ids are less contended
+#: by neighbor tenants than the default-packed low ids on this host
+CPU_BASE = int(os.environ.get("BENCH_CPU_BASE", str(max(0, os.cpu_count() - 8))))
 
 #: headline operator queries run at the SF dir (subset of the contract
 #: registry: index layer, both BM25 paths, dedup, ANN, relational)
@@ -61,10 +73,11 @@ HEADLINE = [
     "q_top_customers",
 ]
 
-# fewer output partition dirs (16 buckets x ~26 ranges) cuts the serial
-# file-commit overhead that dominates small-corpus scaling on this host
+# docs_per_range sized so the 48k-conv corpus yields ~50 range groups:
+# many more groups than task slots (no straggler tail at either level)
+# while keeping the partition-dir count moderate for the commit path
 BUILD_CFG = EngineConfig(
-    index=IndexConfig(block_size=128, docs_per_range=1 << 15, term_buckets=16)
+    index=IndexConfig(block_size=128, docs_per_range=1 << 15, term_buckets=8)
 )
 
 
@@ -72,18 +85,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def corpus_path() -> str:
-    path = os.path.join(
-        tempfile.gettempdir(), f"engine_bench_corpus_c{BENCH_CONVS}_s{BENCH_SEED}"
-    )
+def corpus_path(n_convs: int | None = None) -> str:
+    n_convs = BENCH_CONVS if n_convs is None else n_convs
+    path = os.path.join(BENCH_TMP, f"engine_bench_corpus_c{n_convs}_s{BENCH_SEED}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from snowplow_elasticsearch_loader_spark.sources.transcripts import (
             synth_transcripts_pdf,
         )
 
-        log(f"generating bench corpus ({BENCH_CONVS} convs) ...")
+        log(f"generating bench corpus ({n_convs} convs) ...")
         pdf = synth_transcripts_pdf(
-            n_convs=BENCH_CONVS, seed=BENCH_SEED, fast=True, with_anomalies=False
+            n_convs=n_convs, seed=BENCH_SEED, fast=True, with_anomalies=False
         )
         spark = get_spark(f"local[{CPUS}]", app_name="bench-gen")
         spark.sparkContext.setLogLevel("ERROR")
@@ -98,12 +110,22 @@ def corpus_path() -> str:
     return path
 
 
+def _bench_spark(master: str, app_name: str):
+    return get_spark(
+        master,
+        app_name=app_name,
+        extra_conf={"spark.local.dir": os.path.join(BENCH_TMP, "spark-local")},
+    )
+
+
 def timed_build(master: str, corpus: str) -> tuple[float, int, str]:
     """Returns (build seconds, n turns, index dir)."""
     from snowplow_elasticsearch_loader_spark.index_store import build_index
 
-    out = tempfile.mkdtemp(prefix=f"engine-bench-idx-{master.replace('[','').replace(']','')}-")
-    spark = get_spark(master, app_name=f"bench-build-{master}")
+    out = tempfile.mkdtemp(
+        prefix=f"engine-bench-idx-{master.replace('[','').replace(']','')}-", dir=BENCH_TMP
+    )
+    spark = _bench_spark(master, app_name=f"bench-build-{master}")
     spark.sparkContext.setLogLevel("ERROR")
     tr = spark.read.parquet(corpus)
     t0 = time.time()
@@ -112,6 +134,61 @@ def timed_build(master: str, corpus: str) -> tuple[float, int, str]:
     n = idx.documents.count()
     spark.stop()
     return dt, n, out
+
+
+def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, int]:
+    """One measured build in a fresh subprocess pinned to exactly
+    ``n_cores`` CPUs (taskset over JVM + python workers alike — the
+    honest local substitution for an N-core executor; unpinned local[N]
+    leaks python-worker and GC parallelism beyond its task slots). The
+    child JIT-warms on a small corpus before the timed build."""
+    import subprocess
+
+    cpus = f"{CPU_BASE}-{CPU_BASE + n_cores - 1}"
+    cmd = [
+        "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
+        "--build-child", f"local[{n_cores}]", corpus, warm_corpus,
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, env=os.environ
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    r = json.loads(line)
+    return float(r["sec"]), int(r["turns"])
+
+
+def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
+    import shutil as _sh
+
+    # warmup: full pipeline on the small corpus, discarded (JIT/codegen)
+    _, _, d = timed_build(master, warm_corpus)
+    _sh.rmtree(d, ignore_errors=True)
+    dt, n, d = timed_build(master, corpus)
+    _sh.rmtree(d, ignore_errors=True)
+    print(json.dumps({"sec": dt, "turns": n}))
+
+
+def control_run(master: str, corpus: str) -> float:
+    """Pure-compute control: same input, same tokenizer, one shuffle,
+    no file writes — measures the host's achievable N->4N scaling
+    independent of the engine (sandbox cores are shared and noisy)."""
+    from pyspark.sql import functions as F
+
+    from snowplow_elasticsearch_loader_spark.functions.analyze import tokens_col
+
+    spark = _bench_spark(master, app_name=f"bench-control-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(corpus)
+    t0 = time.time()
+    (
+        df.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .count()
+        .write.format("noop").mode("overwrite").save()
+    )
+    dt = time.time() - t0
+    spark.stop()
+    return dt
 
 
 def bm25_latency(index_dir: str) -> dict:
@@ -153,6 +230,12 @@ def main() -> None:
 
     spark = get_spark(f"local[{CPUS}]", app_name="bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
+    # index-backed queries are QUERIES over a persisted index, not
+    # index builds: materialize the physical index once, outside the
+    # timed region (the build is what section 2 times; r01 polluted
+    # q_bm25_topk_wand with it and made the fast path look 2.2x slow)
+    log("pre-building physical index (untimed) ...")
+    contract._physical_index(spark, SF_DIR)
     total = 0.0
     for name in HEADLINE:
         fn = contract.SPARK_QUERIES[name]
@@ -164,54 +247,70 @@ def main() -> None:
         log(f"query {name}: {dt:.2f}s")
     spark.stop()
 
-    # ---- 2. index-build scaling (N vs 4N cores) ----
-    # The sandbox host is noisily shared: single measurements swing 3x.
-    # Alternate the two levels and take the best of REPS runs each —
-    # min wall time is the least-contended estimate of true cost.
+    # ---- 2. index-build scaling (N vs 4N cores, pinned) ----
+    # Protocol (the sandbox substitution for N vs 4N executors):
+    # - each measurement runs in a fresh subprocess pinned with taskset
+    #   to exactly N CPUs (JVM + python workers), JIT-warmed first;
+    # - levels alternate; efficiency is the MEDIAN OF PER-PAIR ratios
+    #   (adjacent runs share the host's noise window, so the ratio is
+    #   far more stable than a ratio of medians — this host's CPU-steal
+    #   bursts swing identical runs up to 3x);
+    # - a pure-compute control job (same input/tokenizer, one shuffle,
+    #   no writes) measures the host's achievable ceiling.
     corpus = corpus_path()
+    warm_corpus = corpus_path(WARM_CONVS)
     small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
-    reps = int(os.environ.get("BENCH_BUILD_REPS", "3"))
-    dts_small, dts_big = [], []
+    reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    dts_small, dts_big, pair_effs = [], [], []
     n_turns = 0
-    dir_small = dir_big = None
     for rep in range(reps):
-        dt_s, n_turns, d_s = timed_build(small, corpus)
+        dt_s, n_turns = pinned_build(N_SMALL, corpus, warm_corpus)
+        dt_b, _ = pinned_build(N_BIG, corpus, warm_corpus)
         dts_small.append(dt_s)
-        if dir_small:
-            shutil.rmtree(d_s, ignore_errors=True)
-        else:
-            dir_small = d_s
-        dt_b, _, d_b = timed_build(big, corpus)
         dts_big.append(dt_b)
-        if dir_big:
-            shutil.rmtree(d_b, ignore_errors=True)
-        else:
-            dir_big = d_b
-        log(f"build rep {rep}: {small} {dt_s:.1f}s | {big} {dt_b:.1f}s")
-    dt_small, dt_big = min(dts_small), min(dts_big)
+        pair_effs.append(dt_s / ((N_BIG / N_SMALL) * dt_b))
+        log(f"build pair {rep}: {small} {dt_s:.1f}s | {big} {dt_b:.1f}s | "
+            f"pair eff {pair_effs[-1]:.2f}")
+    med = statistics.median
+    dt_small, dt_big = med(dts_small), med(dts_big)
+    spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
-    eff = thr_big / ((N_BIG / N_SMALL) * thr_small)
+    eff = med(pair_effs)
+
+    ctl_reps = int(os.environ.get("BENCH_CONTROL_REPS", "3"))
+    ctl_small, ctl_big = [], []
+    for rep in range(ctl_reps):
+        ctl_small.append(control_run(small, corpus))
+        ctl_big.append(control_run(big, corpus))
+    ctl_eff = (n_turns / med(ctl_big)) / ((N_BIG / N_SMALL) * (n_turns / med(ctl_small)))
     results["build"] = {
         "turns": n_turns,
         "cores_small": N_SMALL,
         "cores_big": N_BIG,
+        "pinned": True,
         f"turns_per_sec_local{N_SMALL}": round(thr_small, 1),
         f"turns_per_sec_local{N_BIG}": round(thr_big, 1),
         "build_sec_small": round(dt_small, 1),
         "build_sec_big": round(dt_big, 1),
         "build_sec_small_runs": [round(x, 1) for x in dts_small],
         "build_sec_big_runs": [round(x, 1) for x in dts_big],
+        "spread_small": spread(dts_small),
+        "spread_big": spread(dts_big),
+        "pair_efficiencies": [round(x, 3) for x in pair_effs],
         "scaling_efficiency": round(eff, 3),
+        "control_sec_small_runs": [round(x, 1) for x in ctl_small],
+        "control_sec_big_runs": [round(x, 1) for x in ctl_big],
+        "control_scaling_efficiency": round(ctl_eff, 3),
+        "scaling_efficiency_normalized": round(min(eff / ctl_eff, 1.0) if ctl_eff > 0 else 0.0, 3),
     }
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
-        f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f}")
+        f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
     # ---- 3. BM25 query latency over the built index ----
+    dt_b, _, dir_big = timed_build(f"local[{CPUS}]", corpus)
     results["bm25_latency_ms"] = bm25_latency(dir_big)
     log(f"bm25 latency: {results['bm25_latency_ms']}")
-
-    shutil.rmtree(dir_small, ignore_errors=True)
     shutil.rmtree(dir_big, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -229,4 +328,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--build-child":
+        _build_child(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()

@@ -55,3 +55,29 @@ def tokenize_text(text: str) -> list[str]:
 def duckdb_tokens_expr(col: str = "text") -> str:
     """DuckDB SQL expression producing the same token array."""
     return f"regexp_extract_all(lower({col}), '[\\p{{L}}\\p{{N}}]+')"
+
+
+def tokenize_arrow(texts: pd.Series):
+    """Zero-python-object tokenizer for Arrow-UDF hot paths.
+
+    Same contract as tokens_col/tokenize_series — runs of \\p{L}\\p{N}
+    over the lowercased text, realized as a split on the complement
+    class — but executed entirely in Arrow C++ (RE2): lower, split,
+    flatten, drop empty edge pieces. Returns ``(row_of, tokens)`` where
+    ``tokens`` is a flat pyarrow StringArray of every token instance in
+    row order and ``row_of`` is the int64 row index of each token. No
+    per-token Python object is ever created; downstream term-code
+    assignment uses Arrow dictionary_encode (C++ hash) so millions of
+    postings never materialize Python strings.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\p{L}\p{N}]+")
+    flat_all = lists.flatten()
+    row_of = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat_all, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return row_of[keep_np], flat_all.filter(keep)

@@ -141,6 +141,16 @@ class InvertedIndex:
         return self._t("docstats")
 
     def corpus(self) -> tuple[int, float]:
+        target = os.path.join(self.path, "corpus")
+        if _is_local(target):
+            import glob
+
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(os.path.join(target, "*.parquet")))
+            if files:
+                t = pq.read_table(files[0]).to_pydict()
+                return int(t["n_docs"][0]), float(t["avgdl"][0])
         row = self._t("corpus").collect()[0]
         return int(row["n_docs"]), float(row["avgdl"])
 
@@ -161,12 +171,78 @@ class InvertedIndex:
         return index_build.decode_blocks(self.blocks)
 
 
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _pa_schema(schema: T.StructType):
+    import pyarrow as pa
+
+    m = {"string": pa.string(), "bigint": pa.int64(), "double": pa.float64(), "int": pa.int32()}
+    return pa.schema([(f.name, m[f.dataType.simpleString()]) for f in schema.fields])
+
+
 def _append(spark: SparkSession, path: str, rows: list, schema: T.StructType) -> None:
-    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode("append").parquet(path)
+    """Append a handful of control rows (checkpoints/metrics).
+
+    These are O(1)-row tables, but a Spark write is a full job — serial
+    driver time that caps build-throughput scaling (Amdahl). Local paths
+    take a direct pyarrow write (microseconds, no job); remote paths
+    fall back to the Spark writer. Spark reads the resulting directory
+    identically either way.
+    """
+    if _is_local(path):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        cols = {f.name: [r[i] for r in rows] for i, f in enumerate(schema.fields)}
+        table = pa.Table.from_pydict(cols, schema=_pa_schema(schema))
+        pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    else:
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _write_corpus(spark: SparkSession, path: str, n_docs: int, avgdl: float) -> None:
+    """Overwrite the singleton corpus-stats table (same fast path)."""
+    target = os.path.join(path, "corpus")
+    schema = T.StructType(
+        [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
+    )
+    if _is_local(target):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(target, ignore_errors=True)
+        os.makedirs(target, exist_ok=True)
+        table = pa.Table.from_pydict(
+            {"n_docs": [int(n_docs)], "avgdl": [float(avgdl)]}, schema=_pa_schema(schema)
+        )
+        pq.write_table(table, os.path.join(target, "part-00000.parquet"))
+    else:
+        spark.createDataFrame([(int(n_docs), float(avgdl))], schema=schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(target)
 
 
 def _done_partitions(spark: SparkSession, path: str, stage: str) -> set[int]:
     cp = os.path.join(path, "_checkpoints")
+    if _is_local(cp):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out: set[int] = set()
+        for f in glob.glob(os.path.join(cp, "*.parquet")):
+            t = pq.read_table(f, columns=["stage", "partition_id", "status"]).to_pydict()
+            out.update(
+                int(p)
+                for s, p, st in zip(t["stage"], t["partition_id"], t["status"])
+                if s == stage and st == "done"
+            )
+        return out
     try:
         df = spark.read.parquet(cp)
     except Exception:
@@ -198,12 +274,7 @@ def build_blocks_only(
     idx = InvertedIndex(spark, path, cfg)
     n_docs = int(obs.get["n_docs"])
     avgdl = float(obs.get["sum_dl"]) / float(n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, avgdl)],
-        schema=T.StructType(
-            [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
-        ),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    _write_corpus(spark, path, n_docs, avgdl)
     index_build.build_blocks_df(idx.documents, avgdl, cfg).write.mode(
         "overwrite"
     ).partitionBy("term_bucket", "range_id").parquet(os.path.join(path, "blocks"))
@@ -317,14 +388,21 @@ def build_index(
         # parquet; badrow routing, id assignment, the doc store, and doc
         # stats all derive from cheap columns of the staged table.
         staging = os.path.join(path, "_staging")
-        stage_validated(transcripts, cfg).write.mode("overwrite").parquet(staging)
+        obs_st = Observation("staging")
+        stage_validated(transcripts, cfg).observe(
+            obs_st, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(staging)
+        n_staged = int(obs_st.get["n"])
         st = spark.read.parquet(staging)
         obs_bad = Observation("badrows")
         badrows_from(st, cfg).observe(obs_bad, F.count(F.lit(1)).alias("n_bad")).write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "_badrows"))
         good = st.filter(F.col("_error").isNull()).drop("_error")
-        with_ids = assign_doc_ids(good, dedup=True)
+        # n_rows from the staging observation: saves a full count() job
+        # (only drives the boundary-sample fraction, so the slight
+        # overcount from bad rows is immaterial)
+        with_ids = assign_doc_ids(good, dedup=True, n_rows=n_staged)
         docs = with_ids.select(
             "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doclen",
             F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
@@ -339,12 +417,7 @@ def build_index(
         ).write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
         n_good = int(obs.get["n_docs"])
         avgdl = float(obs.get["sum_dl"]) / float(n_good) if n_good else 0.0
-        spark.createDataFrame(
-            [(n_good, avgdl)],
-            schema=T.StructType(
-                [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
-            ),
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+        _write_corpus(spark, path, n_good, avgdl)
         n_bad = int(obs_bad.get["n_bad"])
         pending_metrics.extend(
             [("events_good", n_good, "documents", time.time()),

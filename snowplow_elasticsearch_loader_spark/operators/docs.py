@@ -161,6 +161,7 @@ def assign_doc_ids(
     num_ranges: int | None = None,
     seed: int = 42,
     dedup: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Dense doc_id = global rank over (conv_id, turn_idx).
 
@@ -198,7 +199,10 @@ def assign_doc_ids(
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
     df = transcripts.withColumn("_key", _rank_key_col())
-    n = df.count()  # parquet-metadata count when source is a plain scan
+    # n only sizes the boundary sample; callers that already know the
+    # row count (e.g. from a write Observation) pass it to avoid a
+    # driver-synchronized count() job (Amdahl at build time)
+    n = n_rows if n_rows is not None else df.count()
     if n == 0:
         return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
     frac = min(1.0, (40.0 * num_ranges) / float(n))

@@ -89,19 +89,40 @@ def postings_with_doclen(docs: DataFrame) -> DataFrame:
     )
 
 
-def _sort_runs(pdf: pd.DataFrame, cap: int) -> list[dict[str, np.ndarray]]:
+def _term_codes(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, sorted_unique_terms): integer term codes whose numeric
+    order IS lexicographic term order.
+
+    The SPIMI sort used to lexsort the full object-string term column —
+    the single hottest Python cost in the build (string comparisons for
+    millions of postings). Factorizing first (O(n) hash) and string-
+    sorting only the UNIQUE terms (vocab-sized, thousands not millions)
+    makes every subsequent sort a pure int lexsort, while keeping the
+    output byte-identical to the string-sorted original at any
+    parallelism level (codes are rank-remapped to sorted order)."""
+    raw, uniques = pd.factorize(terms, sort=False)
+    uniques = np.asarray(uniques, dtype=object)
+    order_u = np.argsort(uniques)
+    rank = np.empty(order_u.size, dtype=np.int64)
+    rank[order_u] = np.arange(order_u.size)
+    return rank[raw], uniques[order_u]
+
+
+def _sort_runs(
+    code: np.ndarray, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray, cap: int
+) -> list[dict[str, np.ndarray]]:
     """SPIMI phase 1: memory-capped sorted runs (flush analog of the
     reference's maxBytes batch-up, core/Processing.scala:274-298)."""
     runs = []
-    for start in range(0, len(pdf), cap):
-        chunk = pdf.iloc[start : start + cap]
-        order = np.lexsort((chunk["doc_id"].to_numpy(), chunk["term"].to_numpy()))
+    for start in range(0, len(code), cap):
+        sl = slice(start, start + cap)
+        order = np.lexsort((doc[sl], code[sl]))
         runs.append(
             {
-                "term": chunk["term"].to_numpy()[order],
-                "doc_id": chunk["doc_id"].to_numpy(np.int64)[order],
-                "tf": chunk["tf"].to_numpy(np.int64)[order],
-                "doclen": chunk["doclen"].to_numpy(np.int64)[order],
+                "code": code[sl][order],
+                "doc_id": doc[sl][order],
+                "tf": tf[sl][order],
+                "doclen": dl[sl][order],
             }
         )
     return runs
@@ -115,97 +136,195 @@ def _merge_runs(runs: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     if len(runs) == 1:
         return runs[0]
     cat = {k: np.concatenate([r[k] for r in runs]) for k in runs[0]}
-    order = np.lexsort((cat["doc_id"], cat["term"]))
+    order = np.lexsort((cat["doc_id"], cat["code"]))
     return {k: v[order] for k, v in cat.items()}
 
 
-def make_block_builder(cfg: EngineConfig, avgdl: float):
+def _emit_blocks(
+    code: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    uniq_terms: np.ndarray,
+    bucket_by_code: np.ndarray,
+    range_id: int,
+    cfg: EngineConfig,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Shared block-emission core: (code, doc)-sorted posting arrays ->
+    compressed block rows. Fully vectorized (reduceat segmentation,
+    whole-column varint encode, boundary slicing)."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block_size = cfg.index.block_size
     max_blocks_per_range = cfg.index.docs_per_range  # safe upper bound
+    doc = doc.astype(np.uint64)
+    tf = tf.astype(np.uint64)
+    dl = dl.astype(np.uint64)
+    n = len(code)
+    # collapse duplicate (term, doc) runs -> summed tf
+    if n > 1:
+        same = (code[1:] == code[:-1]) & (doc[1:] == doc[:-1])
+        if same.any():
+            starts = np.flatnonzero(np.concatenate(([True], ~same)))
+            tf = np.add.reduceat(tf, starts)
+            code, doc, dl = code[starts], doc[starts], dl[starts]
+            n = len(code)
+
+    # per-term segmentation (sorted, so boundaries are != shifts)
+    new_term = np.concatenate(([True], code[1:] != code[:-1]))
+    term_start = np.flatnonzero(new_term)
+    seg_len = np.diff(np.concatenate((term_start, [n])))
+    rank_in_term = np.arange(n) - np.repeat(term_start, seg_len)
+    local_block = rank_in_term // block_size
+    is_block_start = new_term | (rank_in_term % block_size == 0)
+    bstart = np.flatnonzero(is_block_start)
+    bend = np.concatenate((bstart[1:], [n]))
+
+    # delta-gap with per-block restart, whole-column varint encode,
+    # then slice the byte stream at block boundaries (vectorized)
+    gaps = doc.copy()
+    gaps[1:] -= doc[:-1]
+    gaps[bstart] = doc[bstart]
+    doc_bytes, doc_lens = codec.varint_encode(gaps), _varint_lens(gaps)
+    tf_bytes, tf_lens = codec.varint_encode(tf), _varint_lens(tf)
+    dl_bytes, dl_lens = codec.varint_encode(dl), _varint_lens(dl)
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    # per-block max partial score (tf*(k1+1))/(tf + k1*(1-b+b*dl/avgdl))
+    tfd = tf.astype(np.float64)
+    partial = (tfd * (k1 + 1.0)) / (
+        tfd + k1 * ((1.0 - b) + b * dl.astype(np.float64) / avgdl)
+    )
+    max_partial = np.maximum.reduceat(partial, bstart)
+    max_tf_b = np.maximum.reduceat(tf, bstart).astype(np.int64)
+    min_dl_b = np.minimum.reduceat(dl, bstart).astype(np.int64)
+
+    return pd.DataFrame(
+        {
+            "term": uniq_terms[code[bstart]],
+            "term_bucket": bucket_by_code[code[bstart]].astype(np.int32),
+            "range_id": np.full(bstart.size, range_id, dtype=np.int64),
+            "block_id": range_id * max_blocks_per_range
+            + local_block[bstart].astype(np.int64),
+            "doc_count": (bend - bstart).astype(np.int32),
+            "first_doc": doc[bstart].astype(np.int64),
+            "last_doc": doc[bend - 1].astype(np.int64),
+            "max_score_partial": max_partial,
+            "max_tf": max_tf_b.astype(np.int32),
+            "min_dl": min_dl_b.astype(np.int32),
+            "docs_varint": [
+                doc_bytes[doc_off[s] : doc_off[e]] for s, e in zip(bstart, bend)
+            ],
+            "tfs_varint": [
+                tf_bytes[tf_off[s] : tf_off[e]] for s, e in zip(bstart, bend)
+            ],
+            "dls_varint": [
+                dl_bytes[dl_off[s] : dl_off[e]] for s, e in zip(bstart, bend)
+            ],
+        }
+    )
+
+
+def _crc_buckets(uniq_terms: np.ndarray, buckets: int) -> np.ndarray:
+    """term_bucket per unique term — zlib.crc32 over UTF-8 bytes, the
+    exact value Spark's crc32(cast(term AS binary)) computes, so blocks
+    built python-side land in the same partitions the JVM query side
+    prunes on (term_bucket_col)."""
+    import zlib
+
+    return np.array(
+        [zlib.crc32(t.encode("utf-8")) % buckets for t in uniq_terms], dtype=np.int64
+    )
+
+
+def make_block_builder(cfg: EngineConfig, avgdl: float):
+    """(term_bucket, range_id)-grouped posting rows -> block rows (the
+    compaction/rebuild path, where input is already exploded postings)."""
 
     def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term_bucket, range_id = int(key[0]), int(key[1])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in BLOCKS_SCHEMA.fields])
-        if "tf" not in pdf.columns:
-            # raw token instances (one row per occurrence): tf is
-            # aggregated here after the merge sort, saving the upstream
-            # (term, doc_id) pre-aggregation exchange entirely
-            pdf = pdf.assign(tf=np.ones(len(pdf), dtype=np.int64))
-        merged = _merge_runs(_sort_runs(pdf, cfg.index.max_run_postings))
-        terms = merged["term"]
-        doc = merged["doc_id"].astype(np.uint64)
-        tf = merged["tf"].astype(np.uint64)
-        dl = merged["doclen"].astype(np.uint64)
-        n = len(terms)
-        # collapse duplicate (term, doc) runs -> summed tf
-        if n > 1:
-            same = (terms[1:] == terms[:-1]) & (doc[1:] == doc[:-1])
-            if same.any():
-                starts = np.flatnonzero(np.concatenate(([True], ~same)))
-                tf = np.add.reduceat(tf, starts)
-                terms, doc, dl = terms[starts], doc[starts], dl[starts]
-                n = len(terms)
-
-        # per-term segmentation (sorted, so boundaries are != shifts)
-        new_term = np.concatenate(([True], terms[1:] != terms[:-1]))
-        term_start = np.flatnonzero(new_term)
-        seg_len = np.diff(np.concatenate((term_start, [n])))
-        rank_in_term = np.arange(n) - np.repeat(term_start, seg_len)
-        local_block = rank_in_term // block_size
-        is_block_start = new_term | (rank_in_term % block_size == 0)
-        bstart = np.flatnonzero(is_block_start)
-        bend = np.concatenate((bstart[1:], [n]))
-
-        # delta-gap with per-block restart, whole-column varint encode,
-        # then slice the byte stream at block boundaries (vectorized)
-        gaps = doc.copy()
-        gaps[1:] -= doc[:-1]
-        gaps[bstart] = doc[bstart]
-        doc_bytes, doc_lens = codec.varint_encode(gaps), _varint_lens(gaps)
-        tf_bytes, tf_lens = codec.varint_encode(tf), _varint_lens(tf)
-        dl_bytes, dl_lens = codec.varint_encode(dl), _varint_lens(dl)
-        doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
-        tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
-        dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
-
-        # per-block max partial score (tf*(k1+1))/(tf + k1*(1-b+b*dl/avgdl))
-        tfd = tf.astype(np.float64)
-        partial = (tfd * (k1 + 1.0)) / (
-            tfd + k1 * ((1.0 - b) + b * dl.astype(np.float64) / avgdl)
+        if "tf" in pdf.columns:
+            tf_in = pdf["tf"].to_numpy(np.int64)
+        else:
+            tf_in = np.ones(len(pdf), dtype=np.int64)
+        code_in, uniq_terms = _term_codes(pdf["term"].to_numpy())
+        merged = _merge_runs(
+            _sort_runs(
+                code_in,
+                pdf["doc_id"].to_numpy(np.int64),
+                tf_in,
+                pdf["doclen"].to_numpy(np.int64),
+                cfg.index.max_run_postings,
+            )
         )
-        max_partial = np.maximum.reduceat(partial, bstart)
-        max_tf_b = np.maximum.reduceat(tf, bstart).astype(np.int64)
-        min_dl_b = np.minimum.reduceat(dl, bstart).astype(np.int64)
-
-        out = pd.DataFrame(
-            {
-                "term": terms[bstart],
-                "term_bucket": np.full(bstart.size, term_bucket, dtype=np.int32),
-                "range_id": np.full(bstart.size, range_id, dtype=np.int64),
-                "block_id": range_id * max_blocks_per_range
-                + local_block[bstart].astype(np.int64),
-                "doc_count": (bend - bstart).astype(np.int32),
-                "first_doc": doc[bstart].astype(np.int64),
-                "last_doc": doc[bend - 1].astype(np.int64),
-                "max_score_partial": max_partial,
-                "max_tf": max_tf_b.astype(np.int32),
-                "min_dl": min_dl_b.astype(np.int32),
-                "docs_varint": [
-                    doc_bytes[doc_off[s] : doc_off[e]] for s, e in zip(bstart, bend)
-                ],
-                "tfs_varint": [
-                    tf_bytes[tf_off[s] : tf_off[e]] for s, e in zip(bstart, bend)
-                ],
-                "dls_varint": [
-                    dl_bytes[dl_off[s] : dl_off[e]] for s, e in zip(bstart, bend)
-                ],
-            }
+        bucket_by_code = np.full(len(uniq_terms), term_bucket, dtype=np.int64)
+        return _emit_blocks(
+            merged["code"], merged["doc_id"], merged["tf"], merged["doclen"],
+            uniq_terms, bucket_by_code, range_id, cfg, avgdl,
         )
-        return out
 
     return build_blocks
+
+
+def make_range_builder(cfg: EngineConfig, avgdl: float):
+    """range_id-grouped DOCUMENT rows -> all of the range's block rows.
+
+    True SPIMI (north_star: "per-partition SPIMI-style in-memory
+    posting-list construction"): the ONLY shuffle moves the doc store
+    (doc_id, text — corpus-sized bytes), not exploded token instances
+    (~8-10x more rows and bytes). Tokenization, posting sort, tf
+    aggregation, and block encoding all happen inside one Arrow group:
+
+    - tokenize_series: the pandas twin of the JVM tokenizer contract
+      (property-tested equal — analyze.py);
+    - postings flattened via np.repeat (no per-token Python);
+    - term codes factorized, string-sorting only the range's vocab;
+    - term_bucket from zlib.crc32 == JVM crc32 (query-side pruning).
+
+    Group size is bounded by construction: docs_per_range docs, so a
+    hot term never concentrates work, and memory is capped by the
+    range width regardless of corpus size.
+    """
+    from ..functions.analyze import tokenize_arrow
+
+    def build_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        range_id = int(key[0])
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in BLOCKS_SCHEMA.fields])
+        # Arrow C++ tokenize: flat token array + owning-row index, no
+        # per-token Python objects (input_hint "no per-row Python")
+        row_of, tokens = tokenize_arrow(pdf["text"])
+        lens = np.bincount(row_of, minlength=len(pdf)).astype(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)[row_of]
+        dl = lens[row_of]
+        # term codes via Arrow dictionary_encode (C++ hash), rank-
+        # remapped so numeric order == lexicographic term order; only
+        # the range's VOCAB (not its postings) touches Python strings
+        enc = tokens.dictionary_encode()
+        codes_raw = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+        order_u = np.argsort(vocab)
+        rank = np.empty(order_u.size, dtype=np.int64)
+        rank[order_u] = np.arange(order_u.size)
+        code_in = rank[codes_raw]
+        uniq_terms = vocab[order_u]
+        merged = _merge_runs(
+            _sort_runs(
+                code_in, doc, np.ones(doc.size, dtype=np.int64), dl,
+                cfg.index.max_run_postings,
+            )
+        )
+        bucket_by_code = _crc_buckets(uniq_terms, cfg.index.term_buckets)
+        return _emit_blocks(
+            merged["code"], merged["doc_id"], merged["tf"], merged["doclen"],
+            uniq_terms, bucket_by_code, range_id, cfg, avgdl,
+        )
+
+    return build_range
 
 
 def _varint_lens(v: np.ndarray) -> np.ndarray:
@@ -222,27 +341,21 @@ def build_blocks_df(
 ) -> DataFrame:
     """docs (with doc_id, text) -> compressed posting blocks DataFrame.
 
-    ONE shuffle: raw token instances go straight to their
-    (term_bucket, range_id) group (keys derive from term/doc_id, so
-    the grouping is deterministic); tf aggregation happens inside the
-    block builder after the SPIMI merge sort. A relational
-    groupBy(term, doc_id) pre-agg would add a full exchange to save
-    only ~10% of shuffle rows (avg tf is close to 1 in natural text).
+    ONE shuffle, and it moves the DOC STORE, not exploded postings:
+    rows are grouped by range_id = doc_id // docs_per_range (a
+    value-derived key, so the grouping is deterministic at any
+    parallelism) and each range group runs the full SPIMI pass —
+    tokenize, sort, tf-aggregate, delta+varint encode — inside one
+    Arrow UDF (make_range_builder). Compared to shuffling token
+    instances this cuts shuffle rows ~40x and shuffle bytes ~8x, which
+    is what survives a 100 TB corpus; it also keeps tokenization in
+    the fully-parallel group stage.
     """
-    if "doclen" in docs.columns:
-        tok = docs.select("doc_id", "doclen", tokens_col("text").alias("tokens"))
-    else:
-        tok = docs.select("doc_id", tokens_col("text").alias("tokens")).withColumn(
-            "doclen", F.size("tokens")
-        )
-    exploded = tok.select("doc_id", "doclen", F.explode("tokens").alias("term"))
-    keyed = exploded.withColumn(
-        "term_bucket", term_bucket_col("term", cfg.index.term_buckets)
-    ).withColumn(
+    keyed = docs.select("doc_id", "text").withColumn(
         "range_id", (F.col("doc_id") / F.lit(cfg.index.docs_per_range)).cast("long")
     )
-    return keyed.groupBy("term_bucket", "range_id").applyInPandas(
-        make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
+    return keyed.groupBy("range_id").applyInPandas(
+        make_range_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
     )
 
 

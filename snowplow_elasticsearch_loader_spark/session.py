@@ -39,8 +39,14 @@ def get_spark(
         # reference's 10MB batch flush (reference.conf:28).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # v2 committer: tasks move their output files into place
+        # themselves instead of the driver renaming every file serially
+        # at job commit — the commit path scales with executors, which
+        # is what the N->4N throughput-scaling target measures.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

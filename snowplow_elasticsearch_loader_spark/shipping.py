@@ -21,9 +21,28 @@ _PKG_NAME = os.path.basename(_PKG_DIR)
 _FLAG = "_engine_pkg_shipped"
 
 
+def _source_stamp() -> str:
+    """Digest of (path, mtime, size) of every source file — a stale zip
+    from a previous code state must never be shipped (workers would
+    unpickle closures against old module bytes)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(_PKG_DIR)):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            h.update(f"{full}:{st.st_mtime_ns}:{st.st_size}\n".encode())
+    return h.hexdigest()[:16]
+
+
 def package_zip() -> str:
-    """Build (once per process) a zip of this package; returns its path."""
-    out = os.path.join(tempfile.gettempdir(), f"{_PKG_NAME}.zip")
+    """Build (once per source state) a zip of this package."""
+    out = os.path.join(tempfile.gettempdir(), f"{_PKG_NAME}-{_source_stamp()}.zip")
     if not os.path.exists(out):
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:

@@ -160,14 +160,11 @@ def finalize_streamed_index(
     """
     ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
     row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
-    from pyspark.sql import types as T
+    from ..index_store import _write_corpus
 
-    spark.createDataFrame(
-        [(int(row["n"]), float(row["s"]) / float(row["n"]) if row["n"] else 0.0)],
-        schema=T.StructType(
-            [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
-        ),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "corpus"))
+    _write_corpus(
+        spark, index_dir, int(row["n"]), float(row["s"]) / float(row["n"]) if row["n"] else 0.0
+    )
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
     index_build.termdict_from_blocks(blocks).write.mode("overwrite").parquet(
         os.path.join(index_dir, "termdict")
