@@ -18,10 +18,18 @@ from typing import Any
 
 @dataclass(frozen=True)
 class BM25Config:
-    """Lucene-default BM25 parameters (BASELINE.json: k1=1.2, b=0.75)."""
+    """Lucene-default BM25 parameters (BASELINE.json: k1=1.2, b=0.75).
+
+    ``quantize_doclen`` enables Lucene-style lossy norm quantization
+    (SmallFloat analog): doclen is floor-truncated to a 4-bit mantissa
+    (dl >> s << s with s = max(bit_width(dl) - 4, 0)) before scoring —
+    monotone, at most ~6% relative error, and exactly expressible in
+    Spark, numpy, and the DuckDB oracle (integer shifts on bin-length,
+    no floating log). Off by default: exact doclen."""
 
     k1: float = 1.2
     b: float = 0.75
+    quantize_doclen: bool = False
 
 
 @dataclass(frozen=True)

@@ -105,8 +105,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
 
 
-def _sql_bm25(k: int = DEFAULT_K) -> str:
+def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False) -> str:
     k1, b = CFG.bm25.k1, CFG.bm25.b
+    # SmallFloat-style 4-bit-mantissa doclen quantization — identical
+    # integer shifts to the engine (bm25.quantize_doclen_col)
+    dl = (
+        "((d.doclen >> greatest(length(bin(d.doclen)) - 4, 0))"
+        " << greatest(length(bin(d.doclen)) - 4, 0))"
+        if quantize
+        else "d.doclen"
+    )
     return f"""
 WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
 corpus AS (
@@ -121,7 +129,7 @@ qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GRO
 contribs AS (
   SELECT q.query_id, p.doc_id,
          q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
-           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*{dl}/c.avgdl)) AS contrib
   FROM qterms q
   JOIN postings p USING (term)
   JOIN tstats t USING (term)
@@ -142,6 +150,21 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 
 
 SQL_BM25_TOPK = _sql_bm25()
+SQL_BM25_TOPK_QUANTIZED = _sql_bm25(quantize=True)
+
+
+def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with Lucene SmallFloat-style quantized doclen norms
+    (SURVEY §7-hard #1): same plan as q_bm25_topk, doclen floor-
+    truncated to a 4-bit mantissa in engine AND oracle."""
+    from dataclasses import replace
+
+    cfg_q = replace(CFG, bm25=replace(CFG.bm25, quantize_doclen=True))
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=cfg_q)
 
 
 def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,6 +559,64 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# payload decompression (S2): magic-byte sniff, corrupt -> bad row.
+# Fixtures are synthesized deterministically; the oracle is the
+# EXPECTED table (codec/text/error known by construction), independent
+# of the operator under test.
+
+def _payload_fixtures() -> list[tuple[int, bytes, str, str | None, str | None]]:
+    """(pid, payload, expected codec, expected text, expected error_class)."""
+    import gzip
+
+    import pyarrow as pa
+
+    from .operators.payload import ZSTD_MAGIC
+
+    rows = []
+    for i in range(48):
+        text = f"payload {i} unicode üöä 你好 {'x' * (i % 7)}"
+        b = text.encode("utf-8")
+        mode = i % 4
+        if mode == 0:
+            rows.append((i, b, "plain", text, None))
+        elif mode == 1:
+            rows.append((i, gzip.compress(b, mtime=0), "gzip", text, None))
+        elif mode == 2:
+            rows.append((i, bytes(pa.Codec("zstd").compress(b)), "zstd", text, None))
+        else:  # corrupt zstd frame: valid magic, garbage body
+            rows.append((i, ZSTD_MAGIC + b"\x00\xff corrupt", "zstd", None, "decompression_error"))
+    return rows
+
+
+def q_payload_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.payload import decompress_payloads
+
+    rows = [(pid, payload) for pid, payload, _, _, _ in _payload_fixtures()]
+    df = spark.createDataFrame(rows, "pid int, payload binary")
+    out = decompress_payloads(df, "payload", max_bytes=1_000_000)
+    return out.select(
+        "pid",
+        "codec",
+        "text",
+        F.split(F.col("_error"), ":").getItem(0).alias("error_class"),
+    )
+
+
+def _sql_payload_decompress() -> str:
+    def lit(x):
+        return "NULL" if x is None else "'" + x.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({pid}, {lit(codec)}, {lit(text)}, {lit(err)})"
+        for pid, _, codec, text, err in _payload_fixtures()
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(pid, codec, text, error_class)"
+
+
+SQL_PAYLOAD_DECOMPRESS = _sql_payload_decompress()
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible: streaming, binary plumbing,
 # checkpoint lineage — the driver records weaker rows-only checks;
 # cross-validation lives in tests/)
@@ -791,11 +872,18 @@ FROM tok GROUP BY doc_id
 """
 
 
+#: LSH band-bucket size cap (dropped buckets carry no signal; prevents
+#: O(n^2) candidates from degenerate duplicate clusters) — shared with
+#: the SQL twin verbatim
+LSH_MAX_GROUP = 64
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), n_hashes=8, bands=4, threshold=0.9, max_doc_id=200
+        _docs(spark, sf_dir), n_hashes=8, bands=4, threshold=0.9, max_doc_id=200,
+        max_group=LSH_MAX_GROUP,
     )
 
 
@@ -809,9 +897,13 @@ sig AS (
   SELECT doc_id, {', '.join(f"min(md5('{i}:' || term)) AS h{i}" for i in range(8))}
   FROM tok GROUP BY doc_id
 ),
-banded AS (
+banded0 AS (
   {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, h{2*bi} || h{2*bi+1} AS key FROM sig" for bi in range(4))}
 ),
+okb AS (
+  SELECT band, key FROM banded0 GROUP BY band, key HAVING count(*) <= {LSH_MAX_GROUP}
+),
+banded AS (SELECT b.* FROM banded0 b JOIN okb USING (band, key)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -832,17 +924,22 @@ WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= 0.9
 """
 
 
+#: shingle document-frequency cap for candidate generation (hot
+#: boilerplate shingles would explode pairs quadratically)
+NGRAM_MAX_DF = 100
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.1, max_doc_id=500
+        _docs(spark, sf_dir), n=3, threshold=0.1, max_doc_id=500, max_df=NGRAM_MAX_DF
     )
 
 
-SQL_NGRAM_JACCARD_PAIRS = r"""
+SQL_NGRAM_JACCARD_PAIRS = rf"""
 WITH docs AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}]+') AS toks
   FROM documents WHERE doc_id < 500
 ),
 sh AS (
@@ -851,9 +948,11 @@ sh AS (
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
   FROM docs WHERE len(toks) >= 3
 ),
+rare AS (SELECT term FROM sh GROUP BY term HAVING count(*) <= {NGRAM_MAX_DF}),
+sh_cand AS (SELECT s.* FROM sh s JOIN rare USING (term)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+  FROM sh_cand a JOIN sh_cand b ON a.term = b.term AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -999,28 +1098,19 @@ def _sql_ann_ivf_topk() -> str:
     def arr(c):
         return "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
 
-    def dots(expr):
-        return [f"list_inner_product({expr}, {arr(c)})" for c in IVF_CENTROIDS]
-
-    def cell_case(ds):
-        whens = []
-        for j in range(K):
-            conds = []
-            for m in range(K):
-                if m == j:
-                    continue
-                op = ">" if m < j else ">="
-                conds.append(f"{ds[j]} {op} {ds[m]}")
-            whens.append(f"WHEN {' AND '.join(conds)} THEN {j}")
-        return "CASE " + " ".join(whens) + " ELSE 0 END"
+    def cell_expr(expr):
+        ds = ", ".join(f"list_inner_product({expr}, {arr(c)})" for c in IVF_CENTROIDS)
+        # first argmax (lowest cell index on ties) — the exact twin of
+        # Spark's array_position(dots, array_max(dots)) - 1
+        return f"(list_position([{ds}], list_max([{ds}])) - 1)"
 
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-qcell AS (SELECT {cell_case(dots('qv'))} AS c FROM q),
+qcell AS (SELECT {cell_expr('qv')} AS c FROM q),
 in_cell AS (
   SELECT vec_id, embedding::DOUBLE[] AS v
   FROM embeddings CROSS JOIN qcell
-  WHERE vec_id <> 0 AND ({cell_case(dots('embedding::DOUBLE[]'))}) = qcell.c
+  WHERE vec_id <> 0 AND ({cell_expr('embedding::DOUBLE[]')}) = qcell.c
 ),
 scored AS (
   SELECT vec_id,
@@ -1039,24 +1129,59 @@ SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
 SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
+#: banded sign-bucket planes for embedding near-dup (4 bands x 2
+#: planes; literals shared verbatim with the SQL twin)
+NEARDUP_BANDS = 4
+NEARDUP_PLANES = _random_planes(8, 64, seed=11)
+
+
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs: candidates via equi-joins on
+    (band, sign-bucket) — NO cross join anywhere in the plan (asserted
+    in tests/test_plans.py); exact cosine verifies candidates."""
     from .operators.similarity import neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.3, max_vec_id=300)
+    return neardup_pairs(
+        emb, threshold=0.3, planes=NEARDUP_PLANES, bands=NEARDUP_BANDS, max_vec_id=300
+    )
 
 
-SQL_EMBED_NEARDUP_PAIRS = """
+def _sql_embed_neardup() -> str:
+    per = len(NEARDUP_PLANES) // NEARDUP_BANDS
+
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    def key_expr(planes):
+        return " || ".join(
+            f"(CASE WHEN list_inner_product(v, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+
+    union = " UNION ALL ".join(
+        f"SELECT vid, v, {bi} AS band, {key_expr(NEARDUP_PLANES[bi * per:(bi + 1) * per])} AS key FROM sub"
+        for bi in range(NEARDUP_BANDS)
+    )
+    return f"""
 WITH sub AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+),
+banded AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vid < b.vid
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_inner_product(a.v, b.v)
-             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
-FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.v, b.v)
-            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3
+SELECT c.vec_a, c.vec_b,
+       round(list_inner_product(x.v, y.v)
+             / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 6) AS cos_sim
+FROM cand c JOIN sub x ON x.vid = c.vec_a JOIN sub y ON y.vid = c.vec_b
+WHERE round(list_inner_product(x.v, y.v)
+            / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 6) >= 0.3
 """
+
+
+SQL_EMBED_NEARDUP_PAIRS = _sql_embed_neardup()
 
 
 # ---------------------------------------------------------------------------
@@ -1068,6 +1193,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_stats": q_term_stats,
     "q_corpus_stats": q_corpus_stats,
     "q_bm25_topk": q_bm25_topk,
+    "q_bm25_topk_quantized": q_bm25_topk_quantized,
     "q_bm25_and_topk": q_bm25_and_topk,
     "q_match_all": q_match_all,
     "q_phrase_topk": q_phrase_topk,
@@ -1093,6 +1219,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_neardup_pairs": q_embed_neardup_pairs,
     "q_badrow_normalize": q_badrow_normalize,
     "q_limit_error_count": q_limit_error_count,
+    "q_payload_decompress": q_payload_decompress,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1105,6 +1232,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_term_stats": SQL_TERM_STATS,
     "q_corpus_stats": SQL_CORPUS_STATS,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_bm25_topk_quantized": SQL_BM25_TOPK_QUANTIZED,
     "q_bm25_and_topk": SQL_BM25_AND_TOPK,
     "q_match_all": SQL_MATCH_ALL,
     "q_phrase_topk": SQL_PHRASE_TOPK,
@@ -1130,4 +1258,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
     "q_badrow_normalize": SQL_BADROW_NORMALIZE,
     "q_limit_error_count": SQL_LIMIT_ERROR_COUNT,
+    "q_payload_decompress": SQL_PAYLOAD_DECOMPRESS,
 }

@@ -50,6 +50,27 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def quantize_doclen_col(col_name: str = "doclen"):
+    """SmallFloat-style 4-bit-mantissa doclen quantization, JVM-side:
+    dl >> s << s with s = max(bit_width - 4, 0). bit width via
+    length(bin(dl)) — integer-exact, unlike floor(log2(...)). SQL-expr
+    form because the pyspark shiftright wrapper only takes literal
+    shift amounts."""
+    s = f"greatest(length(bin({col_name})) - 4, 0)"
+    return F.expr(f"shiftleft(shiftright({col_name}, {s}), {s})")
+
+
+def quantize_doclen_np(dl):
+    """numpy twin of quantize_doclen_col (used in the WAND evaluator).
+    bit width via frexp's exact exponent."""
+    import numpy as np
+
+    dli = dl.astype(np.int64)
+    _, exp = np.frexp(dli)
+    s = np.maximum(exp - 4, 0)
+    return ((dli >> s) << s).astype(np.float64)
+
+
 def analyze_queries(queries: Iterable[tuple[str, str]]) -> list[tuple[str, str, int]]:
     """(query_id, term, qtf) rows. Duplicate query terms keep Lucene
     semantics: the clause repeats, so its weight multiplies by qtf."""
@@ -96,6 +117,7 @@ def score_candidates(
     """(query_id, doc_id, score) with order-fixed float64 accumulation."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
     cand = postings.join(F.broadcast(qterms), "term").join(docstats, "doc_id")
+    dl = quantize_doclen_col("doclen") if cfg.bm25.quantize_doclen else F.col("doclen")
     # contribution, computed with the exact expression-tree the WAND
     # UDF uses (w * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)))
     contrib = (
@@ -104,7 +126,7 @@ def score_candidates(
         / (
             F.col("tf").cast("double")
             + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+            * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl))
         )
     )
     scored = cand.select("query_id", "doc_id", F.col("term"), contrib.alias("contrib"))

@@ -95,11 +95,20 @@ def minhash_lsh_pairs(
     max_doc_id: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_group: int = 64,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + verified exact Jaccard.
 
     (doc_a < doc_b, jaccard >= threshold). Banding: n_hashes/bands rows
     per band; candidates = pairs agreeing on ALL rows of >=1 band.
+
+    ``max_group`` caps the size of a band bucket: buckets holding more
+    than max_group docs are DROPPED before the self-join (standard LSH
+    practice — a degenerate bucket, e.g. thousands of identical docs,
+    would otherwise emit O(n^2) candidate pairs; an over-full bucket
+    carries no discriminative signal, and members of a duplicate
+    cluster still pair through their other bands' buckets). The oracle
+    twin applies the identical cap.
     """
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
@@ -117,6 +126,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_group)
+        .select("band", "key")
+    )
+    banded = banded.join(ok, ["band", "key"])
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
@@ -147,16 +163,33 @@ def ngram_jaccard_pairs(
     max_doc_id: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int = 100,
 ) -> DataFrame:
     """(doc_a < doc_b, jaccard) over word n-gram shingle sets; candidate
-    pairs = docs sharing >=1 shingle (equi-join, no cartesian)."""
+    pairs = docs sharing >=1 shingle (equi-join, no cartesian).
+
+    ``max_df`` caps the document frequency of shingles used for
+    CANDIDATE GENERATION: a shingle present in more than max_df docs is
+    non-discriminative boilerplate whose self-join would explode pairs
+    quadratically; dropping it changes recall only for pairs whose
+    every shared shingle is that common. The exact Jaccard is still
+    computed over the FULL shingle sets. The oracle twin applies the
+    identical cap.
+    """
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles_col(text_col, n)).alias("term")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "term")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "term")
+    rare = (
+        sh.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("term")
+    )
+    sh_cand = sh.join(rare, "term")
+    a = sh_cand.select(F.col("doc_id").alias("doc_a"), "term")
+    b = sh_cand.select(F.col("doc_id").alias("doc_b"), "term")
     cand = (
         a.join(b, "term").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )

@@ -83,7 +83,10 @@ class QueryEngine:
             .join(F.broadcast(qterms), "term")
         )
         per_range = cand.groupBy("query_id", "range_id").applyInPandas(
-            make_wand_evaluator(k, self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl),
+            make_wand_evaluator(
+                k, self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl,
+                quantize=self.cfg.bm25.quantize_doclen,
+            ),
             schema=RESULT_SCHEMA,
         )
         ranked = per_range.select(

@@ -132,14 +132,65 @@ def lsh_topk(
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
+    planes: Sequence[Sequence[float]],
+    bands: int = 4,
+    max_vec_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate (vec_a < vec_b, cos_sim >= threshold) pairs via
+    banded sign-bucket LSH — the 100 TB shape: candidates come from
+    EQUI-JOINS on (band, bucket), never a cross product.
+
+    ``planes`` is split into ``bands`` groups; two vectors are
+    candidates when they fall in the same bucket of ANY band (OR over
+    bands recovers recall the single-bucket AND would lose). Exact
+    cosine is then computed for candidates only. Recall is tunable via
+    bands x planes-per-band; the exact all-pairs variant
+    (neardup_pairs_exact) remains the test oracle for small subsets.
+    """
+    df = embeddings
+    if max_vec_id is not None:
+        df = df.filter(F.col(id_col) < max_vec_id)
+    per_band = len(planes) // bands
+    sub = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            bucket_col(F.col("v"), planes[bi * per_band : (bi + 1) * per_band]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sub.select(
+        "vid", "v", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vid", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "band", "key")
+    b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = dot_expr(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot_expr(F.col("va"), F.col("va"))) * F.sqrt(dot_expr(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def neardup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
     max_vec_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_a < vec_b, cos_sim >= threshold) within id subset. The pair
-    join is a bounded cross product over the subset — embedding
-    near-dup at corpus scale goes through lsh buckets instead (join on
-    bucket_col), this is the exact small-subset variant."""
+    """Exact all-pairs variant — a bounded cross product usable ONLY on
+    small id subsets (tests/recall measurement); production near-dup
+    goes through the banded LSH path above."""
     sub = embeddings.filter(F.col(id_col) < max_vec_id).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
@@ -157,19 +208,11 @@ def neardup_pairs(
 
 def ivf_cell_col(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """IVF coarse-quantizer cell: argmax_j dot(v, c_j), ties resolved
-    to the lowest cell index via an ordered CASE chain (the DuckDB twin
-    implements the identical chain)."""
-    dots = [dot_expr(vec, _lit_array(c)) for c in centroids]
-    cell = None
-    for j in range(len(dots) - 1, -1, -1):
-        cond = None
-        for m in range(len(dots)):
-            if m == j:
-                continue
-            c = dots[j] >= dots[m] if m > j else dots[j] > dots[m]
-            cond = c if cond is None else (cond & c)
-        cell = F.when(cond, F.lit(j)) if cell is None else cell.when(cond, F.lit(j))
-    return cell.otherwise(F.lit(0))
+    to the lowest cell index — array_position of the max over the dots
+    array (O(K) expressions, survives thousands of centroids; the
+    DuckDB twin uses the identical list_position(l, list_max(l)))."""
+    dots = F.array(*[dot_expr(vec, _lit_array(c)) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_topk(

@@ -87,7 +87,12 @@ def _exact_scores(
     return d[starts], np.add.reduceat(c, starts)
 
 
-def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
+def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float, quantize: bool = False):
+    from .bm25 import quantize_doclen_np
+
+    def _dl(v: np.ndarray) -> np.ndarray:
+        return quantize_doclen_np(v) if quantize else v.astype(np.float64)
+
     def evaluate(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = key[0]
         if len(pdf) == 0:
@@ -104,7 +109,9 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
         # blocks were built while the corpus (and its avgdl) was growing
         # (streamed micro-batches). Exactly one (k1+1) factor.
         mtf = pdf["max_tf"].to_numpy(np.float64)
-        mdl = pdf["min_dl"].to_numpy(np.float64)
+        # quantization is monotone, so q(min_dl) still lower-bounds
+        # every quantized doclen in the block: the bound stays valid
+        mdl = _dl(pdf["min_dl"].to_numpy())
         ubs = pdf["w"].to_numpy() * (mtf * (k1 + 1.0)) / (
             mtf + k1 * ((1.0 - b) + b * mdl / avgdl)
         )
@@ -125,7 +132,9 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
             # threshold from the 4k highest-bound docs, exactly scored
             top_idx = np.argpartition(doc_ub, -4 * k)[-4 * k :]
             survivors_seed = u_doc[top_idx]
-            t = _threshold(pdf, blk_docs, t_codes, w_by_code, survivors_seed, k, k1, b, avgdl)
+            t = _threshold(
+                pdf, blk_docs, t_codes, w_by_code, survivors_seed, k, k1, b, avgdl, _dl
+            )
             # 1e-6 margin: an excluded doc may not round-tie the kth
             # rounded score under the quantized ranking contract
             keep_docs = u_doc[doc_ub >= t - 1e-6] if t > 0.0 else u_doc
@@ -144,7 +153,7 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
             if not mask.any():
                 continue
             tf = codec.varint_decode(bytes(pdf["tfs_varint"].iat[i])).astype(np.float64)
-            dl = codec.varint_decode(bytes(pdf["dls_varint"].iat[i])).astype(np.float64)
+            dl = _dl(codec.varint_decode(bytes(pdf["dls_varint"].iat[i])))
             contrib = (
                 w_by_code[t_codes[i]]
                 * (tf * (k1 + 1.0))
@@ -174,7 +183,7 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float):
     return evaluate
 
 
-def _threshold(pdf, blk_docs, t_codes, w_by_code, seed_docs, k, k1, b, avgdl) -> float:
+def _threshold(pdf, blk_docs, t_codes, w_by_code, seed_docs, k, k1, b, avgdl, _dl) -> float:
     """Exactly score the seed docs; return their kth-best score (a lower
     bound on the final kth-best)."""
     rows_d, rows_c, rows_t = [], [], []
@@ -184,7 +193,7 @@ def _threshold(pdf, blk_docs, t_codes, w_by_code, seed_docs, k, k1, b, avgdl) ->
         if not mask.any():
             continue
         tf = codec.varint_decode(bytes(pdf["tfs_varint"].iat[i])).astype(np.float64)
-        dl = codec.varint_decode(bytes(pdf["dls_varint"].iat[i])).astype(np.float64)
+        dl = _dl(codec.varint_decode(bytes(pdf["dls_varint"].iat[i])))
         contrib = (
             w_by_code[t_codes[i]]
             * (tf * (k1 + 1.0))
@@ -251,7 +260,10 @@ def wand_topk(
         .join(F.broadcast(qterms), "term")
     )
     per_range = cand.groupBy("query_id", "range_id").applyInPandas(
-        make_wand_evaluator(k, cfg.bm25.k1, cfg.bm25.b, avgdl), schema=RESULT_SCHEMA
+        make_wand_evaluator(
+            k, cfg.bm25.k1, cfg.bm25.b, avgdl, quantize=cfg.bm25.quantize_doclen
+        ),
+        schema=RESULT_SCHEMA,
     )
     ranked = per_range.select(
         "query_id", "doc_id", F.round(F.col("score"), 6).alias("score")

@@ -79,3 +79,69 @@ def test_bm25_formula_hand_computed():
 
 def test_default_config_is_lucene_defaults():
     assert DEFAULT_CONFIG.bm25.k1 == 1.2 and DEFAULT_CONFIG.bm25.b == 0.75
+
+
+def test_quantize_doclen_hand_cases(spark):
+    """SmallFloat-style 4-bit-mantissa truncation: hand-computed cases
+    for the JVM expression and the numpy twin."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_spark.operators.bm25 import (
+        quantize_doclen_col,
+        quantize_doclen_np,
+    )
+
+    cases = {1: 1, 7: 7, 15: 15, 16: 16, 17: 16, 31: 30, 100: 96, 1000: 960, 65535: 61440}
+    vals = list(cases)
+    df = spark.createDataFrame([(v,) for v in vals], "doclen int")
+    got = {
+        r["doclen"]: r["q"]
+        for r in df.select("doclen", quantize_doclen_col("doclen").alias("q")).collect()
+    }
+    assert got == cases
+    np_got = quantize_doclen_np(np.array(vals))
+    assert [int(x) for x in np_got] == [cases[v] for v in vals]
+
+
+def test_degenerate_corpus_bounded_candidates(spark):
+    """5k identical docs: without the LSH bucket cap the band self-join
+    would emit ~12.5M pairs; with the cap the query finishes with a
+    bounded result (identical docs pair via exact dedup instead)."""
+    from snowplow_elasticsearch_loader_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated every time") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, n_hashes=8, bands=4, threshold=0.9, max_group=64)
+    assert pairs.count() == 0  # every band bucket is over-full -> dropped
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=100)
+    assert jac.count() == 0  # every shingle is hotter than max_df
+
+
+def test_embed_neardup_banded_subset_of_exact(spark, sf_tiny):
+    """Banded LSH pairs are a subset of the exact all-pairs result, and
+    high-similarity pairs are recalled."""
+    from snowplow_elasticsearch_loader_spark import contract as C
+    from snowplow_elasticsearch_loader_spark.operators.similarity import (
+        neardup_pairs,
+        neardup_pairs_exact,
+    )
+    from snowplow_elasticsearch_loader_spark.sources import load_table
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    approx = neardup_pairs(
+        emb, threshold=0.3, planes=C.NEARDUP_PLANES, bands=C.NEARDUP_BANDS, max_vec_id=150
+    )
+    exact = neardup_pairs_exact(emb, threshold=0.3, max_vec_id=150)
+    a = {(r["vec_a"], r["vec_b"]) for r in approx.collect()}
+    e = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in exact.collect()}
+    e_pairs = {(x, y) for x, y, _ in e}
+    assert a <= e_pairs  # no false positives (exact cosine verifies)
+    hi = {(x, y) for x, y, c in e if c >= 0.8}
+    if hi:
+        assert len(a & hi) / len(hi) >= 0.9  # strong near-dups recalled

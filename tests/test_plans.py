@@ -57,3 +57,12 @@ def test_dedup_pairs_have_no_cartesian(spark, sf_tiny):
     assert_not_in_plan(df, "CartesianProduct")
     df2 = C.SPARK_QUERIES["q_ngram_jaccard_pairs"](spark, sf_tiny)
     assert_not_in_plan(df2, "CartesianProduct")
+
+
+def test_embed_neardup_has_no_cartesian(spark, sf_tiny):
+    """The banded-LSH near-dup path must generate candidates via
+    equi-joins on (band, bucket) — never a cross product (r01's
+    crossJoin was the scale-killer this replaces)."""
+    df = C.SPARK_QUERIES["q_embed_neardup_pairs"](spark, sf_tiny)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
