@@ -51,6 +51,11 @@ class IndexConfig:
     docs_per_range: int = 1 << 20
     hot_df_threshold: int = 1 << 16
     term_buckets: int = 32
+    # store positional postings (token index per occurrence, delta+
+    # varint) — powers match_phrase from the index instead of a corpus
+    # rescan; costs ~30-40% extra block bytes. Lucene stores positions
+    # by default for text fields; so do we.
+    store_positions: bool = True
     # analog of reference batching.maxBytes=10MB flush
     # (core/src/main/resources/reference.conf:28): cap on the pandas
     # buffer a single SPIMI group may hold before flushing a run.

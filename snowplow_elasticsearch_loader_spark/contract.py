@@ -278,42 +278,16 @@ PHRASE_QUERIES: list[tuple[str, str]] = [
 
 
 def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """match_phrase: candidate docs must contain the analyzed token
-    sequence contiguously (normalized-text containment — the relational
-    equivalent of positional-postings adjacency), ranked by BM25 over
-    the phrase terms."""
-    from .functions.analyze import tokens_col
-    from .operators.bm25 import analyze_queries
+    """match_phrase over POSITIONAL POSTINGS: adjacency decided from the
+    index's per-posting position streams (pruned block scan, no corpus
+    rescan — r01 re-normalized every document per phrase batch), ranked
+    by BM25 over the phrase terms. The oracle is unchanged: normalized-
+    text containment is equivalent to token-sequence adjacency."""
+    from .operators.phrase import phrase_topk
 
-    docs = _docs(spark, sf_dir)
-    posts = P.build_postings(docs)
-    ds = P.doc_stats(docs)
-    ts = P.term_stats(posts)
-    scored = bm25.bm25_topk_naive(
-        posts, ds, ts, PHRASE_QUERIES, k=1_000_000_000, cfg=CFG
-    )
-    norm = docs.select(
-        "doc_id",
-        F.concat(F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")).alias("norm"),
-    )
-    phrase_rows = []
-    for qid, qtext in PHRASE_QUERIES:
-        toks = [t for _, t, _ in analyze_queries([(qid, qtext)]) ]
-        # analyze_queries dedups; rebuild the ordered phrase instead
-        from .functions.analyze import tokenize_text
-
-        phrase_rows.append((qid, " " + " ".join(tokenize_text(qtext)) + " "))
-    phrases = spark.createDataFrame(phrase_rows, "query_id string, phrase string")
-    matches = norm.crossJoin(F.broadcast(phrases)).filter(
-        F.expr("contains(norm, phrase)")
-    ).select("query_id", "doc_id")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.drop("rank")
-        .join(matches, ["query_id", "doc_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= DEFAULT_K)
-        .select("query_id", "rank", "doc_id", "score")
+    idx = _physical_index(spark, sf_dir)
+    return phrase_topk(
+        idx.blocks, idx.termdict, idx.corpus(), PHRASE_QUERIES, k=DEFAULT_K, cfg=_IDX_CFG
     )
 
 

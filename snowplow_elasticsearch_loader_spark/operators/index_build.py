@@ -61,6 +61,12 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("docs_varint", T.BinaryType()),
         T.StructField("tfs_varint", T.BinaryType()),
         T.StructField("dls_varint", T.BinaryType()),
+        # positional postings: per posting, tf positions (token index in
+        # the doc's analyzed sequence), delta-encoded with a restart at
+        # each posting, varint-packed. The tf stream doubles as the
+        # per-posting position-count directory, so no extra offsets are
+        # stored. Powers match_phrase without any corpus rescan.
+        T.StructField("pos_varint", T.BinaryType()),
     ]
 )
 
@@ -109,22 +115,35 @@ def _term_codes(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sort_runs(
-    code: np.ndarray, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray, cap: int
+    code: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    cap: int,
+    extra: dict[str, np.ndarray] | None = None,
 ) -> list[dict[str, np.ndarray]]:
     """SPIMI phase 1: memory-capped sorted runs (flush analog of the
-    reference's maxBytes batch-up, core/Processing.scala:274-298)."""
+    reference's maxBytes batch-up, core/Processing.scala:274-298).
+    ``extra`` columns (e.g. token position) ride along; when a ``pos``
+    column is present it participates in the sort so positions stay
+    ascending within each (term, doc) posting."""
+    extra = extra or {}
     runs = []
     for start in range(0, len(code), cap):
         sl = slice(start, start + cap)
-        order = np.lexsort((doc[sl], code[sl]))
-        runs.append(
-            {
-                "code": code[sl][order],
-                "doc_id": doc[sl][order],
-                "tf": tf[sl][order],
-                "doclen": dl[sl][order],
-            }
+        keys = (doc[sl], code[sl]) if "pos" not in extra else (
+            extra["pos"][sl], doc[sl], code[sl]
         )
+        order = np.lexsort(keys)
+        run = {
+            "code": code[sl][order],
+            "doc_id": doc[sl][order],
+            "tf": tf[sl][order],
+            "doclen": dl[sl][order],
+        }
+        for k, v in extra.items():
+            run[k] = v[sl][order]
+        runs.append(run)
     return runs
 
 
@@ -136,7 +155,10 @@ def _merge_runs(runs: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     if len(runs) == 1:
         return runs[0]
     cat = {k: np.concatenate([r[k] for r in runs]) for k in runs[0]}
-    order = np.lexsort((cat["doc_id"], cat["code"]))
+    keys = (cat["doc_id"], cat["code"]) if "pos" not in cat else (
+        cat["pos"], cat["doc_id"], cat["code"]
+    )
+    order = np.lexsort(keys)
     return {k: v[order] for k, v in cat.items()}
 
 
@@ -150,10 +172,16 @@ def _emit_blocks(
     range_id: int,
     cfg: EngineConfig,
     avgdl: float,
+    pos_full: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Shared block-emission core: (code, doc)-sorted posting arrays ->
     compressed block rows. Fully vectorized (reduceat segmentation,
-    whole-column varint encode, boundary slicing)."""
+    whole-column varint encode, boundary slicing).
+
+    ``pos_full``: optional flat position stream aligned with the input
+    rows BEFORE duplicate collapse (each input row carries exactly its
+    share of positions in ascending order, so after collapse the i-th
+    posting's positions are pos_full[cum_tf[i] : cum_tf[i+1]])."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block_size = cfg.index.block_size
     max_blocks_per_range = cfg.index.docs_per_range  # safe upper bound
@@ -201,6 +229,24 @@ def _emit_blocks(
     max_tf_b = np.maximum.reduceat(tf, bstart).astype(np.int64)
     min_dl_b = np.minimum.reduceat(dl, bstart).astype(np.int64)
 
+    # positions stream: delta-gap with a restart at every POSTING
+    # (tf doubles as the per-posting position count at decode time)
+    if pos_full is not None and pos_full.size:
+        cum_tf = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+        pf = pos_full.astype(np.uint64)
+        pstart = cum_tf[:-1]
+        pgaps = pf.copy()
+        pgaps[1:] -= pf[:-1]
+        pgaps[pstart] = pf[pstart]
+        pos_bytes, pos_lens = codec.varint_encode(pgaps), _varint_lens(pgaps)
+        pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
+        pos_col = [
+            pos_bytes[pos_off[cum_tf[s]] : pos_off[cum_tf[e]]]
+            for s, e in zip(bstart, bend)
+        ]
+    else:
+        pos_col = [b""] * bstart.size
+
     return pd.DataFrame(
         {
             "term": uniq_terms[code[bstart]],
@@ -223,6 +269,7 @@ def _emit_blocks(
             "dls_varint": [
                 dl_bytes[dl_off[s] : dl_off[e]] for s, e in zip(bstart, bend)
             ],
+            "pos_varint": pos_col,
         }
     )
 
@@ -241,7 +288,8 @@ def _crc_buckets(uniq_terms: np.ndarray, buckets: int) -> np.ndarray:
 
 def make_block_builder(cfg: EngineConfig, avgdl: float):
     """(term_bucket, range_id)-grouped posting rows -> block rows (the
-    compaction/rebuild path, where input is already exploded postings)."""
+    compaction/rebuild path, where input is already aggregated postings,
+    optionally with a ``positions`` list column to preserve)."""
 
     def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term_bucket, range_id = int(key[0]), int(key[1])
@@ -252,6 +300,8 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
         else:
             tf_in = np.ones(len(pdf), dtype=np.int64)
         code_in, uniq_terms = _term_codes(pdf["term"].to_numpy())
+        has_pos = cfg.index.store_positions and "positions" in pdf.columns
+        extra = {"plist": pdf["positions"].to_numpy()} if has_pos else None
         merged = _merge_runs(
             _sort_runs(
                 code_in,
@@ -259,12 +309,19 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
                 tf_in,
                 pdf["doclen"].to_numpy(np.int64),
                 cfg.index.max_run_postings,
+                extra=extra,
             )
         )
+        pos_full = None
+        if has_pos:
+            lists = [np.asarray(x, dtype=np.int64) for x in merged["plist"]]
+            pos_full = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+            if pos_full.size and pos_full.size != int(merged["tf"].sum()):
+                raise ValueError("positions/tf mismatch in rebuild input")
         bucket_by_code = np.full(len(uniq_terms), term_bucket, dtype=np.int64)
         return _emit_blocks(
             merged["code"], merged["doc_id"], merged["tf"], merged["doclen"],
-            uniq_terms, bucket_by_code, range_id, cfg, avgdl,
+            uniq_terms, bucket_by_code, range_id, cfg, avgdl, pos_full=pos_full,
         )
 
     return build_blocks
@@ -301,6 +358,9 @@ def make_range_builder(cfg: EngineConfig, avgdl: float):
         lens = np.bincount(row_of, minlength=len(pdf)).astype(np.int64)
         doc = pdf["doc_id"].to_numpy(np.int64)[row_of]
         dl = lens[row_of]
+        # token position within its doc: flat order is (row, position)
+        row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(row_of.size, dtype=np.int64) - row_starts[row_of]
         # term codes via Arrow dictionary_encode (C++ hash), rank-
         # remapped so numeric order == lexicographic term order; only
         # the range's VOCAB (not its postings) touches Python strings
@@ -312,16 +372,18 @@ def make_range_builder(cfg: EngineConfig, avgdl: float):
         rank[order_u] = np.arange(order_u.size)
         code_in = rank[codes_raw]
         uniq_terms = vocab[order_u]
+        extra = {"pos": pos} if cfg.index.store_positions else None
         merged = _merge_runs(
             _sort_runs(
                 code_in, doc, np.ones(doc.size, dtype=np.int64), dl,
-                cfg.index.max_run_postings,
+                cfg.index.max_run_postings, extra=extra,
             )
         )
         bucket_by_code = _crc_buckets(uniq_terms, cfg.index.term_buckets)
         return _emit_blocks(
             merged["code"], merged["doc_id"], merged["tf"], merged["doclen"],
             uniq_terms, bucket_by_code, range_id, cfg, avgdl,
+            pos_full=merged.get("pos"),
         )
 
     return build_range
@@ -377,15 +439,34 @@ def rebuild_blocks_from_postings(
     )
 
 
+def decode_positions(pos_bytes: bytes, tf: np.ndarray) -> list[np.ndarray]:
+    """Inverse of the positions stream: delta-gapped varints with a
+    restart per posting -> one ascending position array per posting
+    (the i-th posting holds tf[i] positions). Empty stream -> empty
+    lists (non-positional index)."""
+    tf = np.asarray(tf).astype(np.int64)
+    if not pos_bytes:
+        return [np.empty(0, dtype=np.int64) for _ in range(tf.size)]
+    gaps = codec.varint_decode(pos_bytes).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+    starts = cum[:-1]
+    c = np.cumsum(gaps)
+    base = np.repeat(c[starts] - gaps[starts], tf)
+    absolute = c - base
+    return np.split(absolute, cum[1:-1])
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Inverse mapping: blocks -> (term, doc_id, tf, doclen) postings.
-    The M2 invariant: this must equal the M1 relational postings."""
+    """Inverse mapping: blocks -> (term, doc_id, tf, doclen, positions)
+    postings. The M2 invariant: (term, doc_id, tf, doclen) must equal
+    the M1 relational postings; positions roundtrip is property-tested."""
     out_schema = T.StructType(
         [
             T.StructField("term", T.StringType()),
             T.StructField("doc_id", T.LongType()),
             T.StructField("tf", T.IntegerType()),
             T.StructField("doclen", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.LongType())),
         ]
     )
 
@@ -393,21 +474,25 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            terms, ids, tfs, dls = [], [], [], []
-            for term, db, tb, lb in zip(
-                pdf["term"], pdf["docs_varint"], pdf["tfs_varint"], pdf["dls_varint"]
+            has_pos = "pos_varint" in pdf.columns
+            terms, ids, tfs, dls, poss = [], [], [], [], []
+            for i, (term, db, tb, lb) in enumerate(
+                zip(pdf["term"], pdf["docs_varint"], pdf["tfs_varint"], pdf["dls_varint"])
             ):
                 d, t, l = codec.decode_block(bytes(db), bytes(tb), bytes(lb))
                 ids.append(d)
                 tfs.append(t)
                 dls.append(l)
                 terms.append(np.repeat(term, d.size))
+                pb = bytes(pdf["pos_varint"].iat[i]) if has_pos and pdf["pos_varint"].iat[i] is not None else b""
+                poss.extend(decode_positions(pb, t))
             yield pd.DataFrame(
                 {
                     "term": np.concatenate(terms),
                     "doc_id": np.concatenate(ids).astype(np.int64),
                     "tf": np.concatenate(tfs).astype(np.int32),
                     "doclen": np.concatenate(dls).astype(np.int32),
+                    "positions": poss,
                 }
             )
 

@@ -207,3 +207,72 @@ def test_resume_rejects_changed_input(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_positions_roundtrip(spark, idx):
+    """Decoded position lists == relational posexplode over the same
+    tokenizer (the positional M2 invariant)."""
+    from pyspark.sql import functions as F
+
+    from snowplow_elasticsearch_loader_spark.functions.analyze import tokens_col
+
+    decoded = idx.postings().select("term", "doc_id", "positions")
+    rel = (
+        idx.documents.select(
+            "doc_id", F.posexplode(tokens_col("text")).alias("pos", "term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    a = decoded.select("term", "doc_id", F.col("positions").cast("array<int>").alias("p"))
+    b = rel.select("term", "doc_id", F.col("positions").cast("array<int>").alias("p"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_phrase_topk_index_matches_relational(spark, idx):
+    """Index-backed match_phrase == relational normalized-containment
+    reference, including repeated-term and absent-term phrases."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from snowplow_elasticsearch_loader_spark.functions.analyze import tokens_col, tokenize_text
+    from snowplow_elasticsearch_loader_spark.operators.phrase import phrase_topk
+
+    phrases = [
+        ("ph-1", "tool the"),  # hot prefix pair in the synth corpus
+        ("ph-2", "the the tool"),  # repeated term
+        ("ph-3", "error"),  # single token
+        ("ph-4", "error zzznotaterm"),  # absent term -> empty
+        ("ph-5", "agent plan"),
+    ]
+    got = phrase_topk(idx.blocks, idx.termdict, idx.corpus(), phrases, k=10, cfg=CFG)
+
+    # relational reference: BM25 over phrase terms, filtered to
+    # normalized-containment matches
+    posts = build_postings(idx.documents)
+    scored = bm25.bm25_topk_naive(
+        posts, doc_stats(idx.documents), term_stats(posts), phrases, k=1 << 30, cfg=CFG
+    )
+    norm = idx.documents.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")).alias("norm"),
+    )
+    prows = [(qid, " " + " ".join(tokenize_text(t)) + " ") for qid, t in phrases]
+    pdfq = spark.createDataFrame(prows, "query_id string, phrase string")
+    matches = norm.join(F.broadcast(pdfq)).filter(F.expr("contains(norm, phrase)")).select(
+        "query_id", "doc_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    exp = (
+        scored.drop("rank")
+        .join(matches, ["query_id", "doc_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    g, e = key(got.collect()), key(exp.collect())
+    assert g == e, (g[:5], e[:5])
+    assert not any(q == "ph-4" for q, *_ in g)
+    assert any(q == "ph-1" for q, *_ in g)  # hot phrase matches exist

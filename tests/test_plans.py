@@ -66,3 +66,15 @@ def test_embed_neardup_has_no_cartesian(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_embed_neardup_pairs"](spark, sf_tiny)
     assert_not_in_plan(df, "CartesianProduct")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_phrase_scan_is_pruned_and_never_rescans_corpus(spark, sf_tiny):
+    """match_phrase must answer from the positional index: partition-
+    pruned block scan, and NO scan of the documents table anywhere in
+    the plan (r01 re-normalized the whole corpus per phrase batch)."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_phrase_topk"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [term_bucket", "BroadcastHashJoin")
+    plan = formatted_plan(df)
+    assert "documents" not in plan, plan[:3000]
