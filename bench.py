@@ -199,7 +199,9 @@ def bm25_latency(index_dir: str) -> dict:
     spark = get_spark(f"local[{CPUS}]", app_name="bench-query")
     spark.sparkContext.setLogLevel("ERROR")
     idx = InvertedIndex(spark, index_dir, BUILD_CFG)
-    engine = QueryEngine(idx, BUILD_CFG, warm=True)  # ES-style warm process
+    # ES-style warm process: term dict driver-side, blocks pinned in
+    # executor memory (the page-cache-hot-segments analog)
+    engine = QueryEngine(idx, BUILD_CFG, warm=True, cache_blocks=True)
     engine.search(REFERENCE_QUERIES[:1], k=10).collect()  # JIT/codegen warmup
     lat = []
     for rep in range(3):

@@ -17,7 +17,7 @@ the numpy slicing).
 from __future__ import annotations
 
 import hashlib
-import struct
+import struct  # noqa: F401 — fake_payload still packs headers with it
 from typing import Iterator
 
 import numpy as np
@@ -78,29 +78,72 @@ _META_SCHEMA = T.StructType(
 )
 
 
+def _concat_payloads(payloads) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, row offsets) for a batch of binary payloads —
+    the numpy-offset-slicing base every vectorized parse works from."""
+    sizes = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
+    return buf, offs
+
+
+def _u32le(hdr: np.ndarray, at: int) -> np.ndarray:
+    """(n, >=at+4) uint8 matrix -> little-endian u32 column at byte `at`."""
+    h = hdr[:, at : at + 4].astype(np.int64)
+    return h[:, 0] | (h[:, 1] << 8) | (h[:, 2] << 16) | (h[:, 3] << 24)
+
+
 def extract_metadata(assets: DataFrame) -> DataFrame:
     """mapInPandas over the binary column: header parse + byte-level
-    feature extraction (vectorized within each Arrow batch)."""
+    features, vectorized with numpy offset slicing over the batch's
+    concatenated payload buffer — no per-row Python in the parse
+    (input_hint invariant): magic check, u32 header fields, and
+    byte-mean/std all come from gathers and segment reduces."""
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:4] != b"FAKE":
-                    raise ValueError(f"asset {aid}: unknown container")
-                w, h, fr = struct.unpack("<III", b[7:19])
-                body = np.frombuffer(b, dtype=np.uint8, offset=19)
-                rows.append(
-                    (
-                        int(aid), kind, int(w), int(h), int(fr), len(b),
-                        float(body.mean()) if body.size else 0.0,
-                        float(body.std()) if body.size else 0.0,
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _META_SCHEMA.fields])
+            buf, offs = _concat_payloads(pdf["payload"])
+            n = len(pdf)
+            starts = offs[:-1]
+            # header gather: 4 magic + 3 tag + 12 u32 bytes per row
+            hdr = buf[starts[:, None] + np.arange(19)]
+            magic_ok = (hdr[:, :4] == np.frombuffer(b"FAKE", np.uint8)).all(axis=1)
+            if not magic_ok.all():
+                bad = pdf["asset_id"].to_numpy()[~magic_ok][:3]
+                raise ValueError(f"unknown container for assets {bad.tolist()}")
+            w = _u32le(hdr, 7)
+            h = _u32le(hdr, 11)
+            fr = _u32le(hdr, 15)
+            # body stats via segment reduces over the flat buffer
+            body_starts = np.minimum(starts + 19, offs[1:])
+            body_len = offs[1:] - body_starts
+            x = buf.astype(np.float64)
+            cum = np.concatenate(([0.0], np.cumsum(x)))
+            cum2 = np.concatenate(([0.0], np.cumsum(x * x)))
+            s1 = cum[offs[1:]] - cum[body_starts]
+            s2 = cum2[offs[1:]] - cum2[body_starts]
+            safe = np.maximum(body_len, 1).astype(np.float64)
+            mean = np.where(body_len > 0, s1 / safe, 0.0)
+            var = np.maximum(s2 / safe - mean * mean, 0.0)
+            std = np.where(body_len > 0, np.sqrt(var), 0.0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(np.int64),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "n_frames": fr.astype(np.int32),
+                    "payload_bytes": (offs[1:] - starts).astype(np.int32),
+                    "byte_mean": mean,
+                    "byte_std": std,
+                }
+            )
 
     return assets.mapInPandas(extract, schema=_META_SCHEMA)
 
@@ -128,24 +171,44 @@ _FRAME_SCHEMA = T.StructType(
 
 def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
     """Frame sampling for video assets: emits every Nth frame's byte
-    slice (deterministic fake-codec layout: frames stripe the body)."""
+    slice (deterministic fake-codec layout: frames stripe the body).
+    All geometry (frame counts, strides, slice bounds) is computed
+    vectorized over the batch buffer; the only per-OUTPUT-row step is
+    materializing each frame's bytes object."""
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_a, out_i, out_b = [], [], []
-            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                if kind != "video":
-                    continue
-                b = bytes(payload)
-                w, h, fr = struct.unpack("<III", b[7:19])
-                body = b[19:]
-                stride = max(len(body) // max(fr, 1), 1)
-                for fi in range(0, fr, every):
-                    out_a.append(int(aid))
-                    out_i.append(fi)
-                    out_b.append(body[fi * stride : (fi + 1) * stride])
+            vid = pdf[pdf["kind"] == "video"]
+            if len(vid) == 0:
+                yield pd.DataFrame(
+                    {"asset_id": pd.Series(dtype="int64"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "frame_bytes": pd.Series(dtype=object)}
+                )
+                continue
+            buf, offs = _concat_payloads(vid["payload"])
+            starts = offs[:-1]
+            hdr = buf[starts[:, None] + np.arange(19)]
+            fr = np.maximum(_u32le(hdr, 15), 1)
+            body_len = offs[1:] - starts - 19
+            stride = np.maximum(body_len // fr, 1)
+            n_out = (fr + every - 1) // every  # sampled frames per row
+            row_of = np.repeat(np.arange(len(vid)), n_out)
+            out_starts = np.concatenate(([0], np.cumsum(n_out)[:-1]))
+            fi = (np.arange(row_of.size) - out_starts[row_of]) * every
+            lo = starts[row_of] + 19 + fi * stride[row_of]
+            hi = np.minimum(lo + stride[row_of], offs[1:][row_of])
+            mv = memoryview(buf)
             yield pd.DataFrame(
-                {"asset_id": out_a, "frame_idx": out_i, "frame_bytes": out_b}
+                {
+                    "asset_id": vid["asset_id"].to_numpy(np.int64)[row_of],
+                    "frame_idx": fi.astype(np.int32),
+                    "frame_bytes": [bytes(mv[a:b]) for a, b in zip(lo, hi)],
+                }
             )
 
     return assets.mapInPandas(sample, schema=_FRAME_SCHEMA)

@@ -139,7 +139,10 @@ def phrase_topk(
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): docs containing the analyzed
     phrase contiguously, ranked by BM25 over the phrase's terms."""
+    from ..shipping import ensure_shipped
+
     spark = blocks.sparkSession
+    ensure_shipped(spark)
     n_docs, avgdl = corpus
     analyzed = {qid: tokenize_text(qtext) for qid, qtext in queries}
     all_terms = sorted({t for toks in analyzed.values() for t in toks})

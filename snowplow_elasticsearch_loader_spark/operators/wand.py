@@ -221,7 +221,10 @@ def wand_topk(
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to bm25_topk_naive."""
+    from ..shipping import ensure_shipped
+
     spark = blocks.sparkSession
+    ensure_shipped(spark)
     n_docs, avgdl = corpus
     qrows = analyze_queries(queries)
     terms = sorted({t for _, t, _ in qrows})
