@@ -51,7 +51,10 @@ BENCH_TMP = os.environ.get(
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "24000"))
+#: corpus for the latency section (kept fixed across rounds so p50/p99
+#: are comparable round-over-round regardless of the scaling corpus)
+LATENCY_CONVS = int(os.environ.get("BENCH_LATENCY_CONVS", "16000"))
 #: small corpus used only to JIT-warm a fresh pinned JVM before timing
 WARM_CONVS = int(os.environ.get("BENCH_WARM_CONVS", "4000"))
 BENCH_SEED = 42
@@ -136,12 +139,16 @@ def timed_build(master: str, corpus: str) -> tuple[float, int, str]:
     return dt, n, out
 
 
-def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, int]:
+def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, float, int]:
     """One measured build in a fresh subprocess pinned to exactly
     ``n_cores`` CPUs (taskset over JVM + python workers alike — the
     honest local substitution for an N-core executor; unpinned local[N]
     leaks python-worker and GC parallelism beyond its task slots). The
-    child JIT-warms on a small corpus before the timed build."""
+    child JIT-warms on a small corpus, then times a pure-compute CONTROL
+    job (same input/tokenizer, one shuffle, no writes) in the same
+    window on the same CPUs, then the build — so the control calibrates
+    exactly the host weather the build saw (this sandbox's CPU steal
+    swings identical runs 3x). Returns (build_sec, control_sec, turns)."""
     import subprocess
 
     cpus = f"{CPU_BASE}-{CPU_BASE + n_cores - 1}"
@@ -154,7 +161,7 @@ def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, in
     )
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
-    return float(r["sec"]), int(r["turns"])
+    return float(r["sec"]), float(r["ctl_sec"]), int(r["turns"])
 
 
 def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
@@ -163,9 +170,10 @@ def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
     # warmup: full pipeline on the small corpus, discarded (JIT/codegen)
     _, _, d = timed_build(master, warm_corpus)
     _sh.rmtree(d, ignore_errors=True)
+    ctl = control_run(master, corpus)
     dt, n, d = timed_build(master, corpus)
     _sh.rmtree(d, ignore_errors=True)
-    print(json.dumps({"sec": dt, "turns": n}))
+    print(json.dumps({"sec": dt, "ctl_sec": ctl, "turns": n}))
 
 
 def control_run(master: str, corpus: str) -> float:
@@ -263,29 +271,31 @@ def main() -> None:
     warm_corpus = corpus_path(WARM_CONVS)
     small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
     reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
-    dts_small, dts_big, pair_effs = [], [], []
+    dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
+    pair_effs, pair_ctl_effs, pair_norm = [], [], []
     n_turns = 0
     for rep in range(reps):
-        dt_s, n_turns = pinned_build(N_SMALL, corpus, warm_corpus)
-        dt_b, _ = pinned_build(N_BIG, corpus, warm_corpus)
+        dt_s, ctl_s, n_turns = pinned_build(N_SMALL, corpus, warm_corpus)
+        dt_b, ctl_b, _ = pinned_build(N_BIG, corpus, warm_corpus)
         dts_small.append(dt_s)
         dts_big.append(dt_b)
-        pair_effs.append(dt_s / ((N_BIG / N_SMALL) * dt_b))
-        log(f"build pair {rep}: {small} {dt_s:.1f}s | {big} {dt_b:.1f}s | "
-            f"pair eff {pair_effs[-1]:.2f}")
+        ctls_small.append(ctl_s)
+        ctls_big.append(ctl_b)
+        raw = dt_s / ((N_BIG / N_SMALL) * dt_b)
+        ctl = ctl_s / ((N_BIG / N_SMALL) * ctl_b)
+        pair_effs.append(raw)
+        pair_ctl_effs.append(ctl)
+        pair_norm.append(min(raw / ctl, 1.0) if ctl > 0 else 0.0)
+        log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}) | "
+            f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}) | eff {raw:.2f} | "
+            f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}")
     med = statistics.median
     dt_small, dt_big = med(dts_small), med(dts_big)
     spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
     eff = med(pair_effs)
-
-    ctl_reps = int(os.environ.get("BENCH_CONTROL_REPS", "3"))
-    ctl_small, ctl_big = [], []
-    for rep in range(ctl_reps):
-        ctl_small.append(control_run(small, corpus))
-        ctl_big.append(control_run(big, corpus))
-    ctl_eff = (n_turns / med(ctl_big)) / ((N_BIG / N_SMALL) * (n_turns / med(ctl_small)))
+    ctl_eff = med(pair_ctl_effs)
     results["build"] = {
         "turns": n_turns,
         "cores_small": N_SMALL,
@@ -299,21 +309,23 @@ def main() -> None:
         "build_sec_big_runs": [round(x, 1) for x in dts_big],
         "spread_small": spread(dts_small),
         "spread_big": spread(dts_big),
+        "control_sec_small_runs": [round(x, 1) for x in ctls_small],
+        "control_sec_big_runs": [round(x, 1) for x in ctls_big],
         "pair_efficiencies": [round(x, 3) for x in pair_effs],
+        "pair_control_efficiencies": [round(x, 3) for x in pair_ctl_effs],
+        "pair_normalized_efficiencies": [round(x, 3) for x in pair_norm],
         "scaling_efficiency": round(eff, 3),
-        "control_sec_small_runs": [round(x, 1) for x in ctl_small],
-        "control_sec_big_runs": [round(x, 1) for x in ctl_big],
         "control_scaling_efficiency": round(ctl_eff, 3),
-        "scaling_efficiency_normalized": round(min(eff / ctl_eff, 1.0) if ctl_eff > 0 else 0.0, 3),
+        "scaling_efficiency_normalized": round(med(pair_norm), 3),
     }
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
         f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
-    # ---- 3. BM25 query latency over the built index ----
-    dt_b, _, dir_big = timed_build(f"local[{CPUS}]", corpus)
-    results["bm25_latency_ms"] = bm25_latency(dir_big)
+    # ---- 3. BM25 query latency over a fixed-size index ----
+    _, _, lat_dir = timed_build(f"local[{CPUS}]", corpus_path(LATENCY_CONVS))
+    results["bm25_latency_ms"] = bm25_latency(lat_dir)
     log(f"bm25 latency: {results['bm25_latency_ms']}")
-    shutil.rmtree(dir_big, ignore_errors=True)
+    shutil.rmtree(lat_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

@@ -533,6 +533,90 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# BadRowTransformer 12-fix parity (S6 full): deterministic fixtures
+# covering every fix path; the oracle is the EXPECTED table (outputs
+# hand-derived from the reference's documented semantics,
+# core/BadRowTransformer.scala:30-72 + BadRowTransformerSpec.scala).
+
+_BR = "iglu:com.snowplowanalytics.snowplow.badrows"
+_BADROW_FIXTURES: list[tuple[int, str]] = [
+    (0, '{"foo": "bar"}'),  # non-self-describing: pass through
+    (1, '{"schema":"%s/loader_runtime_error/jsonschema/1-0-0","data":{"failure":"some error","payload":"raw"}}' % _BR),
+    (2, '{"schema":"%s/x/jsonschema/1-0-0","data":{"failure":["e1","e2"]}}' % _BR),
+    (3, '{"schema":"%s/x/jsonschema/1-0-0","data":{"failure":{"error":"E","errors":["a"],'
+        '"messages":[{"error":"m1","expectedMapping":{"k":1},"json":[1,2],"message":{"error":"inner"}}]},'
+        '"payload":{"raw":{"parameters":{"key":"value"}}}}}' % _BR),
+    (4, '{"schema":"iglu:com.example/event/jsonschema/1-0-0","data":{"failure":"oops"}}'),
+    (5, "not json {"),
+    (6, '{"schema":"%s/y/jsonschema/1-0-0","data":{"failure":[{"error":"le","value":{"v":2}}]}}' % _BR),
+]
+
+
+def q_badrow_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 12-fix BadRowTransformer over self-describing bad rows;
+    outputs are leaf extractions from the transformed JSON."""
+    from .operators.badjson import transform_badrows
+
+    df = spark.createDataFrame(_BADROW_FIXTURES, "rid int, json string")
+    out = transform_badrows(df, "json")
+    g = lambda p: F.get_json_object(F.col("transformed"), p)
+    return out.select(
+        "rid",
+        g("$.data.failure_str").alias("failure_str"),
+        g("$.data.payload_str").alias("payload_str"),
+        g("$.data.failure_list").isNotNull().alias("has_failure_list"),
+        g("$.data.failure.error_str").alias("failure_error_str"),
+        g("$.data.failure.errors_list[0]").alias("errors0"),
+        g("$.data.failure.messages[0].error_str").alias("msg_error_str"),
+        g("$.data.failure.messages[0].expectedMapping").alias("expected_mapping"),
+        g("$.data.failure.messages[0].json").alias("json_serialized"),
+        g("$.data.failure.messages[0].message.error_str").alias("inner_error_str"),
+        g("$.data.payload.raw.parameters").alias("parameters"),
+        g("$.data.failure_list[0].error_str").alias("fl0_error_str"),
+        g("$.data.failure_list[0].value").alias("fl0_value"),
+        # scalar-only passthrough check (object rendering is engine-
+        # specific; object-shaped failures are checked via their leaves)
+        F.when(
+            F.substring(F.ltrim(g("$.data.failure")), 1, 1) != F.lit("{"),
+            g("$.data.failure"),
+        ).alias("passthrough_failure"),
+        F.col("_error").isNotNull().alias("is_error"),
+    )
+
+
+def _sql_badrow_transform() -> str:
+    def lit(x):
+        if x is None:
+            return "NULL"
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        return "'" + x.replace("'", "''") + "'"
+
+    n = None
+    expected = [
+        # rid, failure_str, payload_str, has_fl, failure_error_str, errors0,
+        # msg_error_str, expected_mapping, json_serialized, inner_error_str,
+        # parameters, fl0_error_str, fl0_value, passthrough_failure, is_error
+        (0, n, n, False, n, n, n, n, n, n, n, n, n, n, False),
+        (1, "some error", "raw", False, n, n, n, n, n, n, n, n, n, n, False),
+        (2, n, n, True, n, n, n, n, n, n, n, n, n, n, False),
+        (3, n, n, False, "E", "a", "m1", '{"k":1}', "[1,2]", "inner",
+         '{"key":"value"}', n, n, n, False),
+        (4, n, n, False, n, n, n, n, n, n, n, n, n, "oops", False),
+        (5, n, n, False, n, n, n, n, n, n, n, n, n, n, True),
+        (6, n, n, True, n, n, n, n, n, n, n, "le", '{"v":2}', n, False),
+    ]
+    rows = ", ".join("(" + ", ".join(lit(x) if not isinstance(x, int) or isinstance(x, bool) else str(x) for x in r) + ")" for r in expected)
+    cols = ("rid, failure_str, payload_str, has_failure_list, failure_error_str, errors0, "
+            "msg_error_str, expected_mapping, json_serialized, inner_error_str, parameters, "
+            "fl0_error_str, fl0_value, passthrough_failure, is_error")
+    return f"SELECT * FROM (VALUES {rows}) AS t({cols})"
+
+
+SQL_BADROW_TRANSFORM = _sql_badrow_transform()
+
+
+# ---------------------------------------------------------------------------
 # payload decompression (S2): magic-byte sniff, corrupt -> bad row.
 # Fixtures are synthesized deterministically; the oracle is the
 # EXPECTED table (codec/text/error known by construction), independent
@@ -1192,6 +1276,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_embed_neardup_pairs": q_embed_neardup_pairs,
     "q_badrow_normalize": q_badrow_normalize,
+    "q_badrow_transform": q_badrow_transform,
     "q_limit_error_count": q_limit_error_count,
     "q_payload_decompress": q_payload_decompress,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
@@ -1231,6 +1316,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
     "q_badrow_normalize": SQL_BADROW_NORMALIZE,
+    "q_badrow_transform": SQL_BADROW_TRANSFORM,
     "q_limit_error_count": SQL_LIMIT_ERROR_COUNT,
     "q_payload_decompress": SQL_PAYLOAD_DECOMPRESS,
 }

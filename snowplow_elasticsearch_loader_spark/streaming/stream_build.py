@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..index_store import CHECKPOINT_SCHEMA, InvertedIndex, _append, _done_partitions
+from ..index_store import (
+    CHECKPOINT_SCHEMA,
+    METRICS_SCHEMA,
+    InvertedIndex,
+    _append,
+    _done_partitions,
+)
 from ..operators import index_build
 from ..operators.docs import assign_doc_ids, split_good_bad
 from ..operators.postings import doc_stats
@@ -129,6 +135,15 @@ def incremental_index_build(
             os.path.join(index_dir, "_checkpoints"),
             [("stream_batch", int(batch_id), "done", int(row["n"]), 0, 0, 0, t0, time.time(), "stream")],
             CHECKPOINT_SCHEMA,
+        )
+        # telemetry heartbeat (S22): liveness + progress side-stream,
+        # one row per micro-batch (the reference's periodic heartbeat
+        # analog — core/Telemetry-style side channel)
+        _append(
+            spark,
+            os.path.join(index_dir, "_metrics"),
+            [("heartbeat", int(batch_id), "stream", time.time())],
+            METRICS_SCHEMA,
         )
 
     stream = (

@@ -145,3 +145,62 @@ def test_embed_neardup_banded_subset_of_exact(spark, sf_tiny):
     hi = {(x, y) for x, y, c in e if c >= 0.8}
     if hi:
         assert len(a & hi) / len(hi) >= 0.9  # strong near-dups recalled
+
+
+def test_badrow_transformer_12_fix_parity():
+    """Pure-python mirror of the reference's BadRowTransformerSpec
+    (core/BadRowTransformerSpec.scala): every fix path, the vendor
+    gate, pass-through, and the parse-failure route."""
+    import json
+
+    from snowplow_elasticsearch_loader_spark.operators.badjson import handle_iglu_json
+
+    BR = "iglu:com.snowplowanalytics.snowplow.badrows/x/jsonschema/1-0-0"
+
+    def run(data):
+        out, err = handle_iglu_json(json.dumps({"schema": BR, "data": data}))
+        assert err is None
+        return json.loads(out)["data"]
+
+    # pass through non-self-describing JSON unchanged
+    out, err = handle_iglu_json('{"foo": "bar"}')
+    assert err is None and json.loads(out) == {"foo": "bar"}
+    # rename string/array failure; object failure unchanged
+    assert run({"failure": "some error"}) == {"failure_str": "some error"}
+    assert run({"failure": ["e1", "e2"]})["failure_list"] == ["e1", "e2"]
+    assert run({"failure": {"k": 1}})["failure"] == {"k": 1}
+    # payload renames + nested parameters serialization
+    assert run({"payload": "raw"}) == {"payload_str": "raw"}
+    assert run({"payload": ["a"]})["payload_list"] == ["a"]
+    assert run({"payload": {"raw": {"parameters": {"key": "value"}}}})["payload"]["raw"][
+        "parameters"
+    ] == '{"key":"value"}'
+    # failure-object field renames
+    f = run({"failure": {"error": "E", "errors": ["a"], "message": "M"}})["failure"]
+    assert f == {"error_str": "E", "errors_list": ["a"], "message_str": "M"}
+    # failure.messages[*] fixes incl. nested message.error
+    d = run(
+        {"failure": {"messages": [
+            {"error": "m1", "expectedMapping": {"k": 1}, "json": [1, 2],
+             "message": {"error": "inner"}}
+        ]}}
+    )
+    m = d["failure"]["messages"][0]
+    assert m["error_str"] == "m1"
+    assert m["expectedMapping"] == '{"k":1}'
+    assert m["json"] == "[1,2]"
+    assert m["message"] == {"error_str": "inner"}
+    # failure_list item fixes (run AFTER the root rename creates it)
+    d = run({"failure": [{"error": "le", "value": {"v": 2}}]})
+    assert d["failure_list"][0] == {"value": '{"v":2}', "error_str": "le"}
+    # non-badrows vendor: untouched
+    out, _ = handle_iglu_json(
+        '{"schema":"iglu:com.example/event/jsonschema/1-0-0","data":{"failure":"oops"}}'
+    )
+    assert json.loads(out)["data"] == {"failure": "oops"}
+    # parse failure -> routed error
+    out, err = handle_iglu_json("not json {")
+    assert out is None and err.startswith("BadRowTransformer cannot parse")
+    # already-string values are NOT double-serialized
+    d = run({"failure": {"messages": [{"json": "already"}]}})
+    assert d["failure"]["messages"][0]["json"] == "already"
