@@ -51,7 +51,12 @@ BENCH_TMP = os.environ.get(
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "24000"))
+# 40k convs (~1.44M turns): large enough that the 4N side's parallel
+# work dominates the ~10-15s of fixed per-build cost (job planning,
+# python-worker cold start, commit) — at 16-24k convs the ratio measures
+# that fixed cost, not the engine (pinned quiet: 0.87-0.89 at 40k+,
+# ~0.6 at 24k, by Amdahl with identical code)
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
 #: corpus for the latency section (kept fixed across rounds so p50/p99
 #: are comparable round-over-round regardless of the scaling corpus)
 LATENCY_CONVS = int(os.environ.get("BENCH_LATENCY_CONVS", "16000"))
@@ -188,12 +193,14 @@ def control_run(master: str, corpus: str) -> float:
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(corpus)
     t0 = time.time()
-    (
-        df.select(F.explode(tokens_col("text")).alias("term"))
-        .groupBy("term")
-        .count()
-        .write.format("noop").mode("overwrite").save()
-    )
+    for _ in range(2):  # two passes: keep the control itself above the
+        # per-job fixed cost so ITS ratio reflects delivered cores
+        (
+            df.select(F.explode(tokens_col("text")).alias("term"))
+            .groupBy("term")
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
     dt = time.time() - t0
     spark.stop()
     return dt

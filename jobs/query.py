@@ -1,7 +1,12 @@
-"""spark-submit entrypoint: BM25 top-k query over a built index.
+"""spark-submit entrypoint: queries over a built index.
 
     python jobs/query.py --index /path/to/index --query "error in tool call" \
-        [--k 10] [--path naive|wand] [--master local[32]]
+        [--k 10] [--path naive|wand|phrase|match_all] [--master local[32]]
+
+Paths mirror the delegated ES query surface (it/TestHelpers.scala:157-201):
+``wand`` = block-max WAND top-k BM25 (warm engine), ``naive`` = the
+relational twin, ``phrase`` = match_phrase over positional postings,
+``match_all`` = match-all with a size cap (doc-id order).
 """
 
 from __future__ import annotations
@@ -23,7 +28,9 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True, action="append")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--path", choices=["naive", "wand"], default="wand")
+    ap.add_argument(
+        "--path", choices=["naive", "wand", "phrase", "match_all"], default="wand"
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -39,6 +46,22 @@ def main() -> None:
         from snowplow_elasticsearch_loader_spark.operators.query_engine import QueryEngine
 
         res = QueryEngine(idx, warm=True).search(queries, k=args.k)
+    elif args.path == "phrase":
+        from snowplow_elasticsearch_loader_spark.operators.query_engine import QueryEngine
+
+        res = QueryEngine(idx, warm=True).search_phrase(queries, k=args.k)
+    elif args.path == "match_all":
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.asc("doc_id"))
+        res = (
+            idx.documents.select("doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+            .select(F.lit("match_all").alias("query_id"), "rank", "doc_id",
+                    F.lit(1.0).alias("score"))
+        )
     else:
         posts = idx.postings().select("term", "doc_id", "tf")
         from snowplow_elasticsearch_loader_spark.operators.postings import term_stats

@@ -355,7 +355,6 @@ def build_index(
     """
     ensure_shipped(spark)
     cfg.validate()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_path = os.path.join(path, "documents")
     pending_metrics: list[tuple] = []
 
@@ -470,10 +469,14 @@ def build_index(
             F.approx_count_distinct("term").alias("terms"),
         )
         # idempotent per-partition commit: dynamic overwrite replaces only
-        # the (term_bucket, range_id) partitions this batch produced
-        blocks.write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
-            blocks_path
-        )
+        # the (term_bucket, range_id) partitions this batch produced.
+        # Dynamic staging costs a serial driver move per partition dir,
+        # so a fresh single-batch build (nothing to preserve) uses the
+        # static committer (v2: task-side moves, fully parallel).
+        dynamic = bool(done) or len(batches) > 1
+        blocks.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        ).partitionBy("term_bucket", "range_id").parquet(blocks_path)
         stats = obs.get
         rows = [
             (

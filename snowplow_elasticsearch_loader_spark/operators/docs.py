@@ -156,6 +156,54 @@ def _rank_key_col() -> Column:
     )
 
 
+def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
+    """Range-boundary cuts from parquet FOOTER statistics — a driver-
+    side metadata read (milliseconds), replacing the boundary-sampling
+    Spark job entirely when the source is a local parquet scan with
+    conv_id min/max stats. Boundary QUALITY only affects load balance,
+    never the ranks themselves (bucket identity is value-derived), so
+    file-granularity cuts are safe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not (1 < len(files) <= 4096) or not all(
+        f.endswith(".parquet") and (f.startswith("file:") or f.startswith("/"))
+        for f in files
+    ):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        maxes = []
+        for f in files:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "conv_id" not in idx:
+                return None
+            col_max = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["conv_id"]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                m = st.max
+                col_max = m if col_max is None or m > col_max else col_max
+            if col_max is None:
+                return None
+            maxes.append(col_max)
+    except Exception:
+        return None
+    maxes = sorted(set(maxes))[:-1]  # last max needs no cut after it
+    if not maxes:
+        return []
+    step = max(1, len(maxes) // max(num_ranges - 1, 1))
+    # cut strictly ABOVE the file's max conv_id: key = conv_id + NUL +
+    # padded idx, and NUL sorts below \x01, so max+"\x01" splits between
+    # conv ids without ever splitting one conversation's turns
+    return [m + "\x01" for m in maxes[::step]][: num_ranges - 1]
+
+
 def assign_doc_ids(
     transcripts: DataFrame,
     num_ranges: int | None = None,
@@ -199,17 +247,21 @@ def assign_doc_ids(
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
     df = transcripts.withColumn("_key", _rank_key_col())
-    # n only sizes the boundary sample; callers that already know the
-    # row count (e.g. from a write Observation) pass it to avoid a
-    # driver-synchronized count() job (Amdahl at build time)
-    n = n_rows if n_rows is not None else df.count()
-    if n == 0:
-        return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
-    frac = min(1.0, (40.0 * num_ranges) / float(n))
-    sample = sorted(r["_key"] for r in df.select("_key").sample(frac, seed=seed).collect())
-    cuts = sorted(
-        {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
-    ) if sample else []
+    cuts = _footer_cuts(transcripts, num_ranges)
+    if cuts is None:
+        # n only sizes the boundary sample; callers that already know
+        # the row count (e.g. from a write Observation) pass it to
+        # avoid a driver-synchronized count() job (Amdahl at build time)
+        n = n_rows if n_rows is not None else df.count()
+        if n == 0:
+            return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
+        frac = min(1.0, (40.0 * num_ranges) / float(n))
+        sample = sorted(
+            r["_key"] for r in df.select("_key").sample(frac, seed=seed).collect()
+        )
+        cuts = sorted(
+            {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
+        ) if sample else []
 
     if cuts:
         blit = F.array(*[F.lit(c) for c in cuts])

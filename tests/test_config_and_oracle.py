@@ -204,3 +204,30 @@ def test_badrow_transformer_12_fix_parity():
     # already-string values are NOT double-serialized
     d = run({"failure": {"messages": [{"json": "already"}]}})
     assert d["failure"]["messages"][0]["json"] == "already"
+
+
+def test_payload_size_caps_and_null(spark):
+    """S2 guards: compressed-size cap, decompressed-size cap (zip bomb),
+    null payload — all routed as row errors, never thrown."""
+    import gzip
+
+    from snowplow_elasticsearch_loader_spark.operators.payload import decompress_payloads
+
+    bomb = gzip.compress(b"x" * 500_000, mtime=0)  # tiny -> big
+    rows = [
+        (0, b"plain ok"),
+        (1, b"y" * 2_000),          # over max_bytes
+        (2, bomb),                   # over max_decompressed
+        (3, None),                   # null payload
+        (4, b"\xff\xfe bad utf8 \xff"),
+    ]
+    df = spark.createDataFrame(rows, "pid int, payload binary")
+    out = {
+        r["pid"]: (r["codec"], r["text"], r["_error"])
+        for r in decompress_payloads(df, max_bytes=1_000, max_decompressed=100_000).collect()
+    }
+    assert out[0] == ("plain", "plain ok", None)
+    assert out[1][2].startswith("size_violation: payload bytes")
+    assert out[2][0] == "gzip" and out[2][2].startswith("size_violation: decompressed")
+    assert out[3][2] == "null_payload"
+    assert out[4][0] == "plain" and out[4][2].startswith("encoding_error")
