@@ -277,11 +277,16 @@ def main() -> None:
     corpus = corpus_path()
     warm_corpus = corpus_path(WARM_CONVS)
     small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
-    reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    # adaptive reps: 2 pairs when they agree (host weather was steady),
+    # a 3rd as tie-breaker when they disagree; median over what ran
+    reps_env = os.environ.get("BENCH_BUILD_REPS")
+    max_reps = int(reps_env) if reps_env else 3
     dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
     pair_effs, pair_ctl_effs, pair_norm = [], [], []
     n_turns = 0
-    for rep in range(reps):
+    for rep in range(max_reps):
+        if rep >= 2 and not reps_env and abs(pair_effs[0] - pair_effs[1]) <= 0.15:
+            break
         dt_s, ctl_s, n_turns = pinned_build(N_SMALL, corpus, warm_corpus)
         dt_b, ctl_b, _ = pinned_build(N_BIG, corpus, warm_corpus)
         dts_small.append(dt_s)

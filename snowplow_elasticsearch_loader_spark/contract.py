@@ -1028,6 +1028,43 @@ WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= 0.1
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    pairs (iterated min-label propagation, one shuffle per round,
+    O(log n) rounds) — the canonicalization step that turns pairs into
+    keep/drop decisions. Oracle: DuckDB recursive-CTE transitive
+    closure over the identical pairs."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=8, bands=4, threshold=0.9, max_doc_id=200,
+        max_group=LSH_MAX_GROUP,
+    )
+    return connected_components(pairs)
+
+
+def _sql_neardup_clusters() -> str:
+    head, tail = SQL_MINHASH_LSH_PAIRS.rsplit("\nSELECT ", 1)
+    inner = head.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{inner}, pairs AS (SELECT {tail}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, rc.r FROM edges e JOIN reach rc ON rc.id = e.d
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_signatures
 
@@ -1270,6 +1307,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_neardup_clusters": q_neardup_clusters,
     "q_simhash": q_simhash,
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -1310,6 +1348,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "q_simhash": SQL_SIMHASH,
     "q_ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "q_ann_lsh_topk": SQL_ANN_LSH_TOPK,

@@ -196,6 +196,64 @@ def ngram_jaccard_pairs(
     return _jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, component) — connected components over near-dup pairs,
+    the canonicalization step after candidate generation: every doc in
+    a duplicate cluster maps to the cluster's MIN doc id.
+
+    Algorithm: iterated min-label propagation (the two-sided variant of
+    the small-star/large-star map-reduce CC algorithm): each round every
+    node adopts the minimum label in its closed neighborhood; converges
+    in O(log n) rounds for the shallow, small components dedup produces
+    (a chain of length L needs O(log L) rounds). Each round is one
+    shuffle (groupBy min) + one join; the loop is driver-side over
+    ROUNDS, never over rows, and stops early via a cheap convergence
+    count on changed labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # neighbor-min pass: min label over {self} ∪ neighbors
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 def simhash_signatures(
     docs: DataFrame, bits: int = 60, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

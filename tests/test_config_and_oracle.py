@@ -231,3 +231,18 @@ def test_payload_size_caps_and_null(spark):
     assert out[2][0] == "gzip" and out[2][2].startswith("size_violation: decompressed")
     assert out[3][2] == "null_payload"
     assert out[4][0] == "plain" and out[4][2].startswith("encoding_error")
+
+
+def test_connected_components_shapes(spark):
+    """CC over pair lists: chains collapse to min-id, disjoint clusters
+    stay disjoint, convergence beats the iteration cap."""
+    from snowplow_elasticsearch_loader_spark.operators.dedup import connected_components
+
+    # chain 0-1-...-9 (needs log rounds), triangle 100-101-102, pair 200-201
+    pairs = [(i, i + 1) for i in range(9)] + [(100, 101), (101, 102), (100, 102), (200, 201)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    assert got[200] == got[201] == 200
+    assert len(got) == 15  # only nodes that appear in pairs
