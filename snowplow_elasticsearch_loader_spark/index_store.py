@@ -172,7 +172,31 @@ class InvertedIndex:
 
 
 def _is_local(path: str) -> bool:
-    return "://" not in path or path.startswith("file:")
+    """True only when ``path`` resolves to the LOCAL filesystem.
+
+    A scheme-less path is local only if the cluster's default Hadoop
+    filesystem is file:// — on an HDFS-default cluster '/x' is remote,
+    and taking the pyarrow fast path there would write checkpoints to
+    the driver's local disk while Spark reads the default FS (resume
+    and dedup guarantees would silently vanish)."""
+    if path.startswith("file:"):
+        return True
+    if "://" in path:
+        return False
+    fs = os.environ.get("SPARK_GRAFT_DEFAULT_FS")
+    if fs is None:
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            fs = (
+                spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+                if spark is not None
+                else "file:///"
+            )
+        except Exception:
+            fs = "file:///"
+    return fs.startswith("file:")
 
 
 def _pa_schema(schema: T.StructType):
@@ -287,6 +311,7 @@ def build_blocks_only(
 def compact_index(
     idx: InvertedIndex,
     cfg: EngineConfig | None = None,
+    gc_grace_sec: float = 300.0,
 ) -> InvertedIndex:
     """Segment compaction (Lucene merge analog): decode all posting
     blocks, regroup under the (possibly larger) ``docs_per_range`` of
@@ -297,8 +322,14 @@ def compact_index(
     (``blocks_v<N>``, ``termdict_v<N>``); one small manifest-file write
     then flips both pointers together — a crash at any point leaves a
     consistent (old, old) or (new, new) pair, never a termdict whose
-    bucket layout disagrees with the live blocks. Superseded dirs are
-    garbage-collected best-effort afterwards.
+    bucket layout disagrees with the live blocks.
+
+    Superseded dirs are NOT deleted at flip time: a concurrent reader
+    still scanning under the old manifest would hit FileNotFound
+    mid-scan. They are parked on the manifest's ``retired`` list with a
+    timestamp and physically removed only by a later compaction once
+    they've been retired for ``gc_grace_sec`` (the Iceberg
+    snapshot-expiry analog: flip now, expire later).
     """
     cfg = (cfg or idx.cfg).validate()
     spark = idx.spark
@@ -322,13 +353,25 @@ def compact_index(
     )
     # pointer flip: single-file replace — the local-FS analog of an
     # atomic object PUT; no directory rename anywhere in the commit path
+    now = time.time()
+    retired = list(cur.get("retired", []))
+    retired.append(
+        {"dirs": [cur.get("blocks", "blocks"), cur.get("termdict", "termdict")], "ts": now}
+    )
+    # expire only entries past the reader grace window; keep the rest
+    expired = [e for e in retired if now - float(e.get("ts", now)) >= gc_grace_sec]
+    retired = [e for e in retired if now - float(e.get("ts", now)) < gc_grace_sec]
     tmp = man_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"blocks": new_blocks, "termdict": new_td, "version": v}, fh)
+        json.dump(
+            {"blocks": new_blocks, "termdict": new_td, "version": v, "retired": retired},
+            fh,
+        )
     os.replace(tmp, man_path)
-    for name in (cur.get("blocks"), cur.get("termdict")):
-        if name:
-            shutil.rmtree(os.path.join(idx.path, name), ignore_errors=True)
+    for e in expired:
+        for name in e.get("dirs", []):
+            if name:
+                shutil.rmtree(os.path.join(idx.path, name), ignore_errors=True)
     out = InvertedIndex(spark, idx.path, cfg)
     _append(
         spark,
@@ -357,6 +400,18 @@ def build_index(
     cfg.validate()
     docs_path = os.path.join(path, "documents")
     pending_metrics: list[tuple] = []
+    # per-stage wall clocks (seconds, cumulative per label) — persisted
+    # to _metrics as stage_ms:<label> and exposed on the returned index
+    # as .build_stage_sec so the bench can attribute scaling loss to a
+    # specific stage instead of guessing (VERDICT r02 task #1)
+    stage_sec: dict[str, float] = {}
+    _last = time.time()
+
+    def mark(label: str) -> None:
+        nonlocal _last
+        now = time.time()
+        stage_sec[label] = stage_sec.get(label, 0.0) + (now - _last)
+        _last = now
 
     # ---- resume identity: refuse to resume against a changed input ----
     snap = input_snapshot(transcripts)
@@ -383,6 +438,7 @@ def build_index(
     # ---- stage 0: document prep (good/bad split, dedup, doc ids) ----
     if not docs_done:
         t0 = time.time()
+        mark("resume_check")
         # ONE tokenize pass: stage validated rows (+doclen, +_error) to
         # parquet; badrow routing, id assignment, the doc store, and doc
         # stats all derive from cheap columns of the staged table.
@@ -392,16 +448,19 @@ def build_index(
             obs_st, F.count(F.lit(1)).alias("n")
         ).write.mode("overwrite").parquet(staging)
         n_staged = int(obs_st.get["n"])
+        mark("staging_write")
         st = spark.read.parquet(staging)
         obs_bad = Observation("badrows")
         badrows_from(st, cfg).observe(obs_bad, F.count(F.lit(1)).alias("n_bad")).write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "_badrows"))
+        mark("badrows_write")
         good = st.filter(F.col("_error").isNull()).drop("_error")
         # n_rows from the staging observation: saves a full count() job
         # (only drives the boundary-sample fraction, so the slight
         # overcount from bad rows is immaterial)
         with_ids = assign_doc_ids(good, dedup=True, n_rows=n_staged)
+        mark("id_offsets")
         docs = with_ids.select(
             "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doclen",
             F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
@@ -416,6 +475,7 @@ def build_index(
         ).write.mode("overwrite").partitionBy("shard_date").parquet(docs_path)
         n_good = int(obs.get["n_docs"])
         avgdl = float(obs.get["sum_dl"]) / float(n_good) if n_good else 0.0
+        mark("docstore_write")
         _write_corpus(spark, path, n_good, avgdl)
         n_bad = int(obs_bad.get["n_bad"])
         pending_metrics.extend(
@@ -429,9 +489,11 @@ def build_index(
             CHECKPOINT_SCHEMA,
         )
         shutil.rmtree(staging, ignore_errors=True)
+        mark("docprep_commit")
 
     idx = InvertedIndex(spark, path, cfg)
     n_docs, avgdl = idx.corpus()
+    mark("corpus_read")
 
     # ---- stage 1: posting blocks per doc-range batch (resumable) ----
     all_ranges = list(range((max(n_docs - 1, 0) // cfg.index.docs_per_range) + 1))
@@ -474,10 +536,12 @@ def build_index(
         # so a fresh single-batch build (nothing to preserve) uses the
         # static committer (v2: task-side moves, fully parallel).
         dynamic = bool(done) or len(batches) > 1
+        mark("blocks_plan")
         blocks.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic" if dynamic else "static"
         ).partitionBy("term_bucket", "range_id").parquet(blocks_path)
         stats = obs.get
+        mark("blocks_write")
         rows = [
             (
                 "range_batch",
@@ -508,12 +572,14 @@ def build_index(
     # ---- stage 2: finalize termdict ----
     if 0 not in _done_partitions(spark, path, "finalize"):
         t0 = time.time()
+        mark("cp_scan")
         obs = Observation("termdict")
         td = index_build.termdict_from_blocks(idx.blocks).observe(
             obs, F.count(F.lit(1)).alias("n_terms")
         )
         td.write.mode("overwrite").parquet(os.path.join(path, "termdict"))
         n_terms = int(obs.get["n_terms"])
+        mark("termdict_write")
         pending_metrics.append(("terms_finalized", n_terms, "finalize", time.time()))
         _append(
             spark,
@@ -521,6 +587,11 @@ def build_index(
             [("finalize", 0, "done", 0, 0, 0, n_terms, t0, time.time(), snap)],
             CHECKPOINT_SCHEMA,
         )
+    pending_metrics.extend(
+        (f"stage_ms:{k}", int(v * 1000), "build_profile", time.time())
+        for k, v in stage_sec.items()
+    )
     if pending_metrics:
         _append(spark, os.path.join(path, "_metrics"), pending_metrics, METRICS_SCHEMA)
+    idx.build_stage_sec = {k: round(v, 2) for k, v in stage_sec.items()}
     return idx

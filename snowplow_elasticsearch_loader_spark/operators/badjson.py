@@ -132,6 +132,28 @@ def transform_badrow_data(data) -> None:
         _serialize_field(item, "value")                              # 12
 
 
+_SCHEMA_KEY_RE = None
+
+
+def _parse_schema_key(uri: str):
+    """Full iglu SchemaKey parse (vendor, name, format, version) or
+    None. Mirrors the reference's SelfDescribingData decode
+    (core/BadRowTransformer.scala:48-49): a schema string that is not a
+    complete, well-formed ``iglu:vendor/name/jsonschema/x-y-z`` URI is
+    NOT transformed — the row passes through unchanged — whereas a bare
+    vendor-prefix split would transform rows the reference leaves
+    alone."""
+    global _SCHEMA_KEY_RE
+    if _SCHEMA_KEY_RE is None:
+        import re
+
+        _SCHEMA_KEY_RE = re.compile(
+            r"^iglu:([a-zA-Z0-9\-_.]+)/([a-zA-Z0-9\-_]+)/([a-zA-Z0-9\-_]+)/(\d+-\d+-\d+)$"
+        )
+    m = _SCHEMA_KEY_RE.match(uri)
+    return m.groups() if m else None
+
+
 def handle_iglu_json(row: str) -> tuple[str | None, str | None]:
     """(transformed json text, error): the handleIgluJson contract —
     self-describing badrows-vendor JSON gets the 12 fixes applied to
@@ -144,9 +166,8 @@ def handle_iglu_json(row: str) -> tuple[str | None, str | None]:
     except Exception as e:
         return None, f"BadRowTransformer cannot parse row as JSON: {e}"
     if isinstance(j, dict) and isinstance(j.get("schema"), str) and isinstance(j.get("data"), dict):
-        schema = j["schema"]
-        vendor = schema.removeprefix("iglu:").split("/", 1)[0]
-        if vendor == _BADROWS_VENDOR:
+        key = _parse_schema_key(j["schema"])
+        if key is not None and key[0] == _BADROWS_VENDOR:
             transform_badrow_data(j["data"])
             return json.dumps(j, separators=(",", ":"), ensure_ascii=False), None
     return json.dumps(j, separators=(",", ":"), ensure_ascii=False), None

@@ -206,52 +206,81 @@ def connected_components(
     the canonicalization step after candidate generation: every doc in
     a duplicate cluster maps to the cluster's MIN doc id.
 
-    Algorithm: iterated min-label propagation (the two-sided variant of
-    the small-star/large-star map-reduce CC algorithm): each round every
-    node adopts the minimum label in its closed neighborhood; converges
-    in O(log n) rounds for the shallow, small components dedup produces
-    (a chain of length L needs O(log L) rounds). Each round is one
-    shuffle (groupBy min) + one join; the loop is driver-side over
-    ROUNDS, never over rows, and stops early via a cheap convergence
-    count on changed labels.
+    Algorithm: alternating large-star / small-star contraction (the
+    map-reduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Each round re-links nodes to their
+    neighborhood minimum:
+
+    - large-star: every node's STRICTLY LARGER neighbors re-attach to
+      the minimum of its closed neighborhood;
+    - small-star (on high->low oriented edges): every node's smaller
+      neighbors re-attach to its smallest neighbor.
+
+    Component diameter roughly halves per round, so convergence takes
+    O(log n) rounds — a duplicate CHAIN of length L (serially near-
+    identical crawl snapshots, the case that broke plain one-hop
+    propagation) needs ~log2(L) rounds, not L. At convergence the edge
+    set is a star forest: every non-root points directly at its
+    component min. Each round is two groupBy-min shuffles + two joins;
+    the driver loop is over ROUNDS, never rows. Raises RuntimeError if
+    the edge set is still changing after ``max_iterations`` rounds —
+    never returns silently-unconverged labels.
     """
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    # canonical high->low orientation, self-loops dropped
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+    prev_count = edges.count()
+    converged = prev_count == 0
     for _ in range(max_iterations):
-        # neighbor-min pass: min label over {self} ∪ neighbors
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    return labels.select(F.col("id").alias("doc_id"), "component")
+        # ---- large-star over symmetric neighborhoods: for each u with
+        # m = min(N(u) ∪ {u}), emit (v, m) for all neighbors v > u ----
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star on oriented edges: for each u with smaller
+        # neighbors N and m = min(N), emit (v, m) for v in N \ {m} and
+        # keep (u, m) ----
+        minv = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(minv, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(minv.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage growth per round
+        )
+        new_count = ss.count()
+        converged = new_count == prev_count and ss.exceptAll(edges).isEmpty()
+        edges, prev_count = ss, new_count
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — raise max_iterations (labels are never returned "
+            "unconverged)"
+        )
+    # star forest -> labels; roots never appear as u, so they map to self
+    parents = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(parents, nodes.id == parents.u, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
 
 
 def simhash_signatures(

@@ -164,6 +164,12 @@ def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
     never the ranks themselves (bucket identity is value-derived), so
     file-granularity cuts are safe."""
     try:
+        # inputFiles() on a JOIN returns the other side's files too —
+        # e.g. the streaming cross-batch anti-join probe would hand us
+        # the DOCUMENTS table's footers as cuts for the batch. Only a
+        # bare scan's statistics describe the data being ranked.
+        if "Join" in df._jdf.queryExecution().analyzed().toString():
+            return None
         files = df.inputFiles()
     except Exception:
         return None
@@ -245,7 +251,12 @@ def assign_doc_ids(
     """
     spark = transcripts.sparkSession
     if num_ranges is None:
-        num_ranges = max(spark.sparkContext.defaultParallelism, 8)
+        # well past the core count: the per-bucket rank window is the
+        # build's only corpus-wide sort, and with num_ranges == cores it
+        # ran as one wave of core-count tasks (at 2 cores: a 2-task,
+        # near-serial 20 s stage). Ranks are invariant to the boundary
+        # choice, so more/smaller buckets only add parallelism.
+        num_ranges = max(4 * spark.sparkContext.defaultParallelism, 32)
     df = transcripts.withColumn("_key", _rank_key_col())
     cuts = _footer_cuts(transcripts, num_ranges)
     if cuts is None:
@@ -274,6 +285,13 @@ def assign_doc_ids(
         F.count_distinct(F.col("_key")) if dedup else F.count(F.lit(1))
     ).alias("n")
     counts = bucketed.groupBy("_bucket").agg(cnt).collect()
+    if not counts:
+        # zero rows (e.g. every row of a redelivered micro-batch was
+        # anti-joined away): create_map() with no entries is untyped
+        # and fails analysis, so short-circuit to an empty result
+        return transcripts.filter(F.lit(False)).withColumn(
+            "doc_id", F.lit(None).cast("long")
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["_bucket"]):

@@ -111,6 +111,12 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             buf, offs = _concat_payloads(pdf["payload"])
             n = len(pdf)
             starts = offs[:-1]
+            sizes = offs[1:] - starts
+            if (sizes < 19).any():
+                bad = pdf["asset_id"].to_numpy()[sizes < 19][:3]
+                raise ValueError(
+                    f"payload shorter than container header for assets {bad.tolist()}"
+                )
             # header gather: 4 magic + 3 tag + 12 u32 bytes per row
             hdr = buf[starts[:, None] + np.arange(19)]
             magic_ok = (hdr[:, :4] == np.frombuffer(b"FAKE", np.uint8)).all(axis=1)
@@ -192,10 +198,22 @@ def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
                 continue
             buf, offs = _concat_payloads(vid["payload"])
             starts = offs[:-1]
+            sizes = offs[1:] - starts
+            # per-row validation BEFORE the gather: a <19-byte payload
+            # would otherwise read header bytes from the NEXT row's
+            # slice of the concatenated buffer (or IndexError on the
+            # last row) instead of failing cleanly per row
+            if (sizes < 19).any():
+                bad = vid["asset_id"].to_numpy()[sizes < 19][:3]
+                raise ValueError(
+                    f"payload shorter than container header for assets {bad.tolist()}"
+                )
             hdr = buf[starts[:, None] + np.arange(19)]
-            fr = np.maximum(_u32le(hdr, 15), 1)
-            body_len = offs[1:] - starts - 19
-            stride = np.maximum(body_len // fr, 1)
+            fr = _u32le(hdr, 15)
+            body_len = sizes - 19
+            stride = np.maximum(body_len // np.maximum(fr, 1), 1)
+            # range(0, fr, every) semantics: a zero-frame video emits no
+            # frames (n_out == 0 drops the row from the repeat)
             n_out = (fr + every - 1) // every  # sampled frames per row
             row_of = np.repeat(np.arange(len(vid)), n_out)
             out_starts = np.concatenate(([0], np.cumsum(n_out)[:-1]))

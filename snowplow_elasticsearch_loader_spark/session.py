@@ -13,6 +13,32 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Allocator environment for every Python worker (and the driver).
+#
+# pyarrow's DEFAULT memory pool (jemalloc) cost 10-40 s of pure KERNEL
+# time per fresh worker process on the first pandas-UDF group and
+# degraded further with worker concurrency (madvise/THP-compaction
+# churn): the r02 build ran SLOWER on 8 cores than 2 purely from this.
+# Measured on the SPIMI range builder (32k-doc group, 8 workers pinned
+# to 8 CPUs): jemalloc cold 38 s -> system pool cold 1-5 s, warm calls
+# ~1 s either way; mimalloc collapses identically to jemalloc at 8-way.
+# The glibc knobs stop malloc from returning the big posting arrays to
+# the OS between groups (trim -> re-fault cycles showed up as 13 s/call
+# stime spikes).
+_WORKER_ALLOC_ENV = {
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+    "MALLOC_MMAP_THRESHOLD_": "67108864",
+    "MALLOC_TRIM_THRESHOLD_": "2147483647",
+}
+
+
+def _apply_alloc_env() -> None:
+    """Set allocator env in THIS process: in local mode the JVM (and
+    the pyspark.daemon it forks python workers from) inherits the
+    driver's environment, so this must run before the JVM starts."""
+    for k, v in _WORKER_ALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+
 
 def get_spark(
     master: str | None = None,
@@ -23,6 +49,7 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    _apply_alloc_env()
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
@@ -48,6 +75,26 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # cluster mode: ship the allocator env to executor-side python
+    # workers too (local mode inherits it from _apply_alloc_env above)
+    for k, v in _WORKER_ALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
+    # Preload-daemon: fork python workers from a daemon that has already
+    # imported numpy/pandas/pyarrow + engine hot modules (COW page
+    # sharing). Kills the measured ~20 s per-worker first-group cold
+    # start that anti-scaled the r02 build (see daemon.py docstring).
+    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1":
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo_root not in pp.split(os.pathsep):
+            pp = repo_root + (os.pathsep + pp if pp else "")
+        b = (
+            b.config("spark.python.daemon.module", f"{__package__}.daemon")
+            .config("spark.executorEnv.PYTHONPATH", pp)
+        )
+        # local mode: the worker factory resolves PYTHONPATH from the
+        # JVM process env, which inherits the driver's — extend it here
+        os.environ["PYTHONPATH"] = pp
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

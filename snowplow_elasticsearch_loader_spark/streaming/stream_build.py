@@ -43,16 +43,192 @@ from ..operators.postings import doc_stats
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 
-def _next_doc_id(spark: SparkSession, path: str) -> int:
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_stream_state.json")
+
+
+def _read_state(index_dir: str) -> dict | None:
+    """Running corpus control state: O(1) per-batch bookkeeping instead
+    of re-aggregating all of docstats every micro-batch (which grows
+    with total corpus size and inverts streaming's point at scale).
+
+    Shape: {"last_batch": b, "before": {...}, "after": {...}} where each
+    side holds (n_docs, sum_dl, next_doc_id). ``before`` is the state
+    the batch STARTED from — kept so a crashed-mid-batch replay (same
+    batch_id) recomputes the exact same doc-id offset instead of reading
+    its own partially-committed writes back as committed corpus.
+    """
+    import json
+
     try:
-        row = (
-            spark.read.parquet(os.path.join(path, "docstats"))
-            .agg(F.max("doc_id").alias("m"))
-            .collect()[0]
-        )
-        return int(row["m"]) + 1 if row["m"] is not None else 0
+        with open(_state_path(index_dir)) as fh:
+            return json.load(fh)
     except Exception:
-        return 0
+        return None
+
+
+def _write_state(index_dir: str, state: dict) -> None:
+    import json
+
+    tmp = _state_path(index_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _state_path(index_dir))
+
+
+def _scan_state(spark: SparkSession, index_dir: str, exclude_batch: int) -> dict:
+    """Fallback when no control state exists (legacy dir): aggregate
+    docstats, EXCLUDING the current batch's own segment — a crashed
+    attempt's partial writes must never shift the replay's offset
+    (they'd assign different doc_ids and orphan the crashed blocks)."""
+    try:
+        ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
+        if "batch_seg" in ds.columns:
+            ds = ds.filter(F.col("batch_seg") != int(exclude_batch))
+        row = ds.agg(
+            F.max("doc_id").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doclen").alias("s"),
+        ).collect()[0]
+        nxt = int(row["m"]) + 1 if row["m"] is not None else 0
+        return {
+            "n_docs": int(row["n"] or 0),
+            "sum_dl": int(row["s"] or 0),
+            "next_doc_id": nxt,
+        }
+    except Exception:
+        return {"n_docs": 0, "sum_dl": 0, "next_doc_id": 0}
+
+
+def process_stream_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> None:
+    """One micro-batch append: validate -> cross-batch upsert dedup ->
+    assign ids -> documents/_badrows/docstats/blocks -> state -> ack.
+
+    Guarantees (each replay-safe, in commit order):
+
+    - **exactly-once effect for committed batches**: batch_ids recorded
+      ``done`` in ``_checkpoints`` are skipped outright;
+    - **cross-micro-batch upsert idempotency** (the ES doc-id upsert
+      analog, core/ElasticsearchSink.scala:92): the batch's natural keys
+      are anti-joined against the PERSISTED doc store before id
+      assignment, so a turn re-delivered in a later micro-batch — the
+      normal Kinesis replay case — converges to one document instead of
+      being indexed twice under a fresh doc_id. The probe reads only
+      (conv_id, turn_idx) (column-pruned scan) and excludes the current
+      batch's own segment so a crashed attempt's partial writes don't
+      eat the replay's rows;
+    - **crash-mid-batch replay identity**: the doc-id offset comes from
+      the ``_stream_state`` control file's BEFORE-side (or, without
+      state, from docstats excluding this batch's own ``batch_seg``) —
+      never from writes the crashed attempt itself made — so the replay
+      assigns byte-identical ids and its dynamic partition overwrites
+      land exactly on the crashed attempt's partitions;
+    - **O(1) per-batch bookkeeping**: running (n_docs, sum_dl,
+      next_doc_id) ride the control file, so per-batch driver work does
+      not grow with total corpus size (no full docstats re-aggregation);
+    - **checkpoint-after-durable-write**: the ``_checkpoints`` row is
+      appended only after documents/docstats/blocks are committed
+      (reference ack ordering, core/Processing.scala:80-84).
+    """
+    batch_id = int(batch_id)
+    if batch_id in _done_partitions(spark, index_dir, "stream_batch"):
+        return  # replayed fully-committed batch: exactly-once effect
+    t0 = time.time()
+    state = _read_state(index_dir)
+    if state is not None and int(state.get("last_batch", -1)) == batch_id:
+        base = state["before"]  # crashed-attempt replay: same offset
+    elif state is not None and int(state.get("last_batch", -1)) < batch_id:
+        base = state["after"]
+    else:
+        base = _scan_state(spark, index_dir, exclude_batch=batch_id)
+
+    good, bad = split_good_bad(batch_df, cfg)
+    docs_dir = os.path.join(index_dir, "documents")
+    if os.path.exists(docs_dir):
+        prior_keys = (
+            spark.read.parquet(docs_dir)
+            .filter(F.col("batch_seg") != batch_id)
+            .select("conv_id", "turn_idx")
+        )
+        good = good.join(prior_keys, ["conv_id", "turn_idx"], "left_anti")
+
+    # each micro-batch starts at a fresh doc-range boundary so its
+    # blocks land in exclusive (term_bucket, range_id) partitions —
+    # no block_id collisions across batches (the streaming analog of
+    # one ES index segment per flush)
+    nxt = int(base["next_doc_id"])
+    dpr = cfg.index.docs_per_range
+    offset = ((nxt + dpr - 1) // dpr) * dpr if nxt else 0
+    seg = F.lit(batch_id).alias("batch_seg")
+    dyn = {"partitionOverwriteMode": "dynamic"}
+
+    with_ids = assign_doc_ids(good, dedup=True)
+    docs = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    docs_out = docs.select(
+        "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
+        seg,
+    )
+    docs_out.write.mode("overwrite").options(**dyn).partitionBy(
+        "batch_seg", "shard_date"
+    ).parquet(docs_dir)
+    bad.select("*", seg).write.mode("overwrite").options(**dyn).partitionBy(
+        "batch_seg"
+    ).parquet(os.path.join(index_dir, "_badrows"))
+    # this batch's rows only: partition-pruned read, O(batch) not O(corpus)
+    docs_w = spark.read.parquet(docs_dir).filter(F.col("batch_seg") == batch_id)
+    doc_stats(docs_w).select("*", seg).write.mode("overwrite").options(**dyn).partitionBy(
+        "batch_seg"
+    ).parquet(os.path.join(index_dir, "docstats"))
+    row = (
+        spark.read.parquet(os.path.join(index_dir, "docstats"))
+        .filter(F.col("batch_seg") == batch_id)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s"))
+        .collect()[0]
+    )
+    n_batch, sum_batch = int(row["n"] or 0), int(row["s"] or 0)
+    n_after = int(base["n_docs"]) + n_batch
+    sum_after = int(base["sum_dl"]) + sum_batch
+    avgdl = float(sum_after) / float(n_after) if n_after else 1.0
+    if n_batch:
+        index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode(
+            "overwrite"
+        ).options(**dyn).partitionBy("term_bucket", "range_id").parquet(
+            os.path.join(index_dir, "blocks")
+        )
+    _write_state(
+        index_dir,
+        {
+            "last_batch": batch_id,
+            "before": dict(base),
+            "after": {
+                "n_docs": n_after,
+                "sum_dl": sum_after,
+                "next_doc_id": (offset + n_batch) if n_batch else nxt,
+            },
+        },
+    )
+    _append(
+        spark,
+        os.path.join(index_dir, "_checkpoints"),
+        [("stream_batch", batch_id, "done", n_batch, 0, 0, 0, t0, time.time(), "stream")],
+        CHECKPOINT_SCHEMA,
+    )
+    # telemetry heartbeat (S22): liveness + progress side-stream,
+    # one row per micro-batch (the reference's periodic heartbeat
+    # analog — core/Telemetry-style side channel)
+    _append(
+        spark,
+        os.path.join(index_dir, "_metrics"),
+        [("heartbeat", batch_id, "stream", time.time())],
+        METRICS_SCHEMA,
+    )
 
 
 def incremental_index_build(
@@ -93,58 +269,7 @@ def incremental_index_build(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in _done_partitions(spark, index_dir, "stream_batch"):
-            return  # replayed fully-committed batch: exactly-once effect
-        good, bad = split_good_bad(batch_df, cfg)
-        # each micro-batch starts at a fresh doc-range boundary so its
-        # blocks land in exclusive (term_bucket, range_id) partitions —
-        # no block_id collisions across batches (the streaming analog of
-        # one ES index segment per flush)
-        nxt = _next_doc_id(spark, index_dir)
-        dpr = cfg.index.docs_per_range
-        offset = ((nxt + dpr - 1) // dpr) * dpr if nxt else 0
-        with_ids = assign_doc_ids(good, dedup=True)
-        docs = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-        t0 = time.time()
-        seg = F.lit(int(batch_id)).alias("batch_seg")
-        docs_out = docs.select(
-            "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
-            F.to_date(F.date_format("ts", cfg.shard_date_format)).alias("shard_date"),
-            seg,
-        )
-        docs_out.write.mode("overwrite").partitionBy("batch_seg", "shard_date").parquet(
-            os.path.join(index_dir, "documents")
-        )
-        bad.select("*", seg).write.mode("overwrite").partitionBy("batch_seg").parquet(
-            os.path.join(index_dir, "_badrows")
-        )
-        docs_w = spark.read.parquet(os.path.join(index_dir, "documents")).filter(
-            F.col("batch_seg") == int(batch_id)
-        )
-        doc_stats(docs_w).select("*", seg).write.mode("overwrite").partitionBy(
-            "batch_seg"
-        ).parquet(os.path.join(index_dir, "docstats"))
-        ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
-        row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
-        avgdl = float(row["s"]) / float(row["n"]) if row["n"] else 1.0
-        index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode("overwrite").partitionBy(
-            "term_bucket", "range_id"
-        ).parquet(os.path.join(index_dir, "blocks"))
-        _append(
-            spark,
-            os.path.join(index_dir, "_checkpoints"),
-            [("stream_batch", int(batch_id), "done", int(row["n"]), 0, 0, 0, t0, time.time(), "stream")],
-            CHECKPOINT_SCHEMA,
-        )
-        # telemetry heartbeat (S22): liveness + progress side-stream,
-        # one row per micro-batch (the reference's periodic heartbeat
-        # analog — core/Telemetry-style side channel)
-        _append(
-            spark,
-            os.path.join(index_dir, "_metrics"),
-            [("heartbeat", int(batch_id), "stream", time.time())],
-            METRICS_SCHEMA,
-        )
+        process_stream_batch(spark, batch_df, int(batch_id), index_dir, cfg)
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -246,3 +246,40 @@ def test_connected_components_shapes(spark):
     assert all(got[i] == 100 for i in (100, 101, 102))
     assert got[200] == got[201] == 200
     assert len(got) == 15  # only nodes that appear in pairs
+
+
+def test_connected_components_long_path_converges_olog(spark):
+    """A 200-node duplicate CHAIN (serially near-identical crawl
+    snapshots) must converge well within the round budget — the
+    large-star/small-star contraction needs ~log2(L) rounds, where
+    plain one-hop min propagation would need ~L (and used to return
+    silently-unconverged labels past the cap)."""
+    from snowplow_elasticsearch_loader_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df, max_iterations=20).collect()}
+    assert len(got) == 200
+    assert all(got[i] == 0 for i in range(200))
+    # shuffled ids: min-label is value-based, not order-based
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1100))
+    rng.shuffle(ids)
+    chain = [(min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])]
+    df2 = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got2 = {r["doc_id"]: r["component"] for r in connected_components(df2, max_iterations=20).collect()}
+    assert all(v == 1000 for v in got2.values())
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Never silently-unconverged: an impossible round budget raises."""
+    import pytest as _pytest
+
+    from snowplow_elasticsearch_loader_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=1)

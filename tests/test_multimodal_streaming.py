@@ -155,8 +155,9 @@ def test_compaction_preserves_postings_and_ranking(spark):
         assert os.path.isdir(os.path.join(idx_dir, "blocks_v1"))
         assert not os.path.exists(os.path.join(idx_dir, "_blocks_old"))
         assert not os.path.exists(os.path.join(idx_dir, "_blocks_compact"))
-        # a second compaction advances the version and stays consistent
-        idx3 = compact_index(idx2, big)
+        # a second compaction advances the version and stays consistent;
+        # zero grace -> superseded dirs expire immediately
+        idx3 = compact_index(idx2, big, gc_grace_sec=0.0)
         assert os.path.isdir(os.path.join(idx_dir, "blocks_v2"))
         assert not os.path.exists(os.path.join(idx_dir, "blocks_v1"))
         assert sorted(map(tuple, idx3.postings().select("term", "doc_id", "tf").collect())) == before_rows
@@ -368,3 +369,187 @@ def test_stream_batch_replay_is_idempotent(spark):
     finally:
         for d in (in_dir, idx_dir, cp_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def _flat_stream_files(in_dir, dfs):
+    """Write each df as one parquet file named in delivery order."""
+    import glob
+    import os
+
+    for i, df in enumerate(dfs):
+        sub = f"{in_dir}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        f = sorted(glob.glob(sub + "/part-*.parquet"))[0]
+        os.rename(f, os.path.join(in_dir, f"{i:04d}.parquet"))
+        shutil.rmtree(sub)
+
+
+def test_stream_cross_batch_redelivery_upserts(spark):
+    """ES upsert-by-doc-id semantics across micro-batches
+    (core/ElasticsearchSink.scala:92): the SAME records delivered again
+    in a LATER micro-batch (the normal Kinesis replay case) converge to
+    one document each — index identical to single-delivery."""
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+
+    in1 = tempfile.mkdtemp(prefix="redeliv-in1-")
+    in2 = tempfile.mkdtemp(prefix="redeliv-in2-")
+    idx1 = tempfile.mkdtemp(prefix="redeliv-idx1-")
+    idx2 = tempfile.mkdtemp(prefix="redeliv-idx2-")
+    cp1 = tempfile.mkdtemp(prefix="redeliv-cp1-")
+    cp2 = tempfile.mkdtemp(prefix="redeliv-cp2-")
+    try:
+        tr = synth_transcripts(spark, n_convs=10, seed=7, with_anomalies=False)
+        # delivered once vs delivered twice (second copy in a later batch)
+        _flat_stream_files(in1, [tr])
+        _flat_stream_files(in2, [tr, tr])
+        incremental_index_build(spark, in1, idx1, cp1, SCFG, available_now=True)
+        incremental_index_build(spark, in2, idx2, cp2, SCFG, available_now=True)
+        a = InvertedIndex(spark, idx1, SCFG)
+        b = InvertedIndex(spark, idx2, SCFG)
+        assert b.documents.count() == tr.count()  # not 2x
+        da = sorted(map(tuple, a.documents.select("doc_id", "conv_id", "turn_idx").collect()))
+        db = sorted(map(tuple, b.documents.select("doc_id", "conv_id", "turn_idx").collect()))
+        assert da == db
+        pa = sorted(map(tuple, a.postings().select("term", "doc_id", "tf").collect()))
+        pb = sorted(map(tuple, b.postings().select("term", "doc_id", "tf").collect()))
+        assert pa == pb
+    finally:
+        for d in (in1, in2, idx1, idx2, cp1, cp2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_crash_mid_batch_replay_is_identical(spark, monkeypatch):
+    """A batch that crashes AFTER its data writes but BEFORE the
+    _checkpoints ack must replay to a byte-identical index: the replay's
+    doc-id offset comes from the control state's before-side (or from
+    docstats EXCLUDING the crashed attempt's own segment), never from
+    the crashed attempt's partial writes."""
+    import pytest as _pytest
+
+    from snowplow_elasticsearch_loader_spark.index_store import InvertedIndex
+    from snowplow_elasticsearch_loader_spark.streaming import stream_build as SB
+
+    idx_c = tempfile.mkdtemp(prefix="crash-idx-")
+    idx_t = tempfile.mkdtemp(prefix="crash-twin-")
+    try:
+        tr = synth_transcripts(spark, n_convs=10, seed=19, with_anomalies=False)
+        a = tr.filter(F.col("conv_id") < "conv-00000005")
+        b = tr.filter(F.col("conv_id") >= "conv-00000005")
+
+        # twin: no crashes
+        SB.process_stream_batch(spark, a, 0, idx_t, SCFG)
+        SB.process_stream_batch(spark, b, 1, idx_t, SCFG)
+
+        # scenario 1: FIRST batch crashes before state write (no control
+        # file yet) -> replay must fall back to a scan that excludes its
+        # own batch_seg
+        def no_state(*args, **kwargs):
+            raise RuntimeError("injected crash before state write")
+
+        monkeypatch.setattr(SB, "_write_state", no_state)
+        with _pytest.raises(RuntimeError, match="before state write"):
+            SB.process_stream_batch(spark, a, 0, idx_c, SCFG)
+        monkeypatch.undo()
+        SB.process_stream_batch(spark, a, 0, idx_c, SCFG)  # replay
+
+        # scenario 2: second batch crashes after state write but before
+        # the _checkpoints ack -> replay reuses the state's before-side
+        real_append = SB._append
+
+        def crash_ack(spark_, path, rows, schema):
+            if path.endswith("_checkpoints") and rows and rows[0][0] == "stream_batch":
+                raise RuntimeError("injected crash before ack")
+            return real_append(spark_, path, rows, schema)
+
+        monkeypatch.setattr(SB, "_append", crash_ack)
+        with _pytest.raises(RuntimeError, match="before ack"):
+            SB.process_stream_batch(spark, b, 1, idx_c, SCFG)
+        monkeypatch.undo()
+        SB.process_stream_batch(spark, b, 1, idx_c, SCFG)  # replay
+
+        crashed = InvertedIndex(spark, idx_c, SCFG)
+        twin = InvertedIndex(spark, idx_t, SCFG)
+        dc = sorted(map(tuple, crashed.documents.select("doc_id", "conv_id", "turn_idx").collect()))
+        dt = sorted(map(tuple, twin.documents.select("doc_id", "conv_id", "turn_idx").collect()))
+        assert dc == dt
+        pc = sorted(map(tuple, crashed.postings().select("term", "doc_id", "tf").collect()))
+        pt = sorted(map(tuple, twin.postings().select("term", "doc_id", "tf").collect()))
+        assert pc == pt
+        # no ghost postings: every indexed doc_id exists in the doc store
+        doc_ids = {r[0] for r in dc}
+        assert {r[1] for r in pc} <= doc_ids
+    finally:
+        for d in (idx_c, idx_t):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_batch_stats_are_o1_not_o_corpus(spark, monkeypatch):
+    """Once the control state exists, per-batch corpus bookkeeping must
+    come from it — never from a full docstats re-aggregation (whose cost
+    grows with total index size). _scan_state is the only fallback scan;
+    poisoning it after batch 0 proves later batches never call it."""
+    from snowplow_elasticsearch_loader_spark.streaming import stream_build as SB
+
+    idx_dir = tempfile.mkdtemp(prefix="o1-idx-")
+    try:
+        tr = synth_transcripts(spark, n_convs=12, seed=23, with_anomalies=False)
+        parts = [
+            tr.filter(F.col("conv_id") < "conv-00000004"),
+            tr.filter((F.col("conv_id") >= "conv-00000004") & (F.col("conv_id") < "conv-00000008")),
+            tr.filter(F.col("conv_id") >= "conv-00000008"),
+        ]
+        SB.process_stream_batch(spark, parts[0], 0, idx_dir, SCFG)
+
+        def poisoned(*args, **kwargs):
+            raise AssertionError("O(corpus) stats scan in steady state")
+
+        monkeypatch.setattr(SB, "_scan_state", poisoned)
+        SB.process_stream_batch(spark, parts[1], 1, idx_dir, SCFG)
+        SB.process_stream_batch(spark, parts[2], 2, idx_dir, SCFG)
+        st = SB._read_state(idx_dir)
+        docs = spark.read.parquet(idx_dir + "/documents")
+        assert st["after"]["n_docs"] == docs.count() == tr.count()
+        ds = spark.read.parquet(idx_dir + "/docstats")
+        assert st["after"]["sum_dl"] == ds.agg(F.sum("doclen")).collect()[0][0]
+        assert st["after"]["next_doc_id"] > st["before"]["next_doc_id"]
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_compaction_reader_grace_window(spark):
+    """A reader holding the OLD manifest must survive a concurrent
+    compaction: superseded block/termdict dirs are parked on the
+    manifest's retired list for gc_grace_sec (Iceberg snapshot-expiry
+    analog), not rmtree'd at flip time."""
+    import json
+    import os
+
+    from snowplow_elasticsearch_loader_spark.index_store import (
+        InvertedIndex,
+        build_index,
+        compact_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="grace-idx-")
+    try:
+        tr = synth_transcripts(spark, n_convs=12, seed=41, with_anomalies=False)
+        idx = build_index(spark, tr, idx_dir, SCFG)
+        # reader bound to the CURRENT (pre-compaction) physical dirs
+        old_blocks = idx.blocks
+        old_n = old_blocks.count()
+        idx2 = compact_index(idx, SCFG)  # default grace: old dirs parked
+        # old reader still scans successfully mid-"concurrency"
+        assert old_blocks.count() == old_n
+        man = json.load(open(os.path.join(idx_dir, "_manifest.json")))
+        assert man["retired"] and man["retired"][0]["dirs"][0] == "blocks"
+        assert os.path.exists(os.path.join(idx_dir, "blocks"))
+        # a later compaction past the grace window expires them
+        compact_index(idx2, SCFG, gc_grace_sec=0.0)
+        man2 = json.load(open(os.path.join(idx_dir, "_manifest.json")))
+        retired_now = {d for e in man2["retired"] for d in e["dirs"]}
+        assert "blocks" not in retired_now  # v0 dirs expired and deleted
+        assert not os.path.exists(os.path.join(idx_dir, "blocks"))
+        # new reader still green
+        assert InvertedIndex(spark, idx_dir, SCFG).blocks.count() == old_n
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
