@@ -1190,6 +1190,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), IVF_CENTROIDS, k=10, exclude_id=0)
 
 
+_IVF_STORE: dict[str, str] = {}
+
+
+def q_ann_ivf_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the corpus-scale physical layout: embeddings
+    partitioned on disk by coarse cell, query reads ONLY the probe
+    cell via partition pruning. Same results (and oracle) as
+    q_ann_ivf_topk by construction."""
+    import tempfile
+
+    from .operators.ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import ivf_topk_materialized, materialize_ivf_cells
+
+    if sf_dir not in _IVF_STORE:
+        path = tempfile.mkdtemp(prefix="engine-ivf-cells-")
+        materialize_ivf_cells(load_table(spark, sf_dir, "embeddings"), IVF_CENTROIDS, path)
+        _IVF_STORE[sf_dir] = path
+    return ivf_topk_materialized(
+        spark, _IVF_STORE[sf_dir], _query_vec(spark, sf_dir), IVF_CENTROIDS,
+        k=10, exclude_id=0,
+    )
+
+
 def _sql_ann_ivf_topk() -> str:
     from .operators.ivf_centroids import IVF_CENTROIDS
 
@@ -1317,6 +1340,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_ivf_topk_materialized": q_ann_ivf_topk_materialized,
     "q_embed_neardup_pairs": q_embed_neardup_pairs,
     "q_badrow_normalize": q_badrow_normalize,
     "q_badrow_transform": q_badrow_transform,
@@ -1358,6 +1382,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "q_ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "q_ann_ivf_topk_materialized": SQL_ANN_IVF_TOPK,
     "q_embed_neardup_pairs": SQL_EMBED_NEARDUP_PAIRS,
     "q_badrow_normalize": SQL_BADROW_NORMALIZE,
     "q_badrow_transform": SQL_BADROW_TRANSFORM,

@@ -177,5 +177,12 @@ def bm25_topk_naive(
         n_docs, avgdl = corpus
     tdf = collect_query_term_stats(term_stats, queries)
     qterms = query_term_weights(spark, queries, tdf, n_docs)
-    scored = score_candidates(postings, docstats, qterms, avgdl, cfg)
+    # only query terms can contribute: filtering BEFORE score_candidates
+    # lets Catalyst push the term predicate below the postings groupBy,
+    # so the full-vocabulary aggregation (and its corpus-sized shuffle)
+    # never happens — non-query terms are dropped right after the
+    # explode. Results are identical by construction.
+    qterm_list = sorted({t for _, t, _ in analyze_queries(queries)})
+    posts_q = postings.filter(F.col("term").isin(qterm_list))
+    scored = score_candidates(posts_q, docstats, qterms, avgdl, cfg)
     return topk(scored, k)

@@ -113,7 +113,10 @@ def minhash_lsh_pairs(
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, id_col, text_col)
+    # signatures feed the bucket-size cap and both self-join sides;
+    # tokens feed the Jaccard verify three ways — persist both instead
+    # of re-hashing/re-tokenizing the corpus per reuse
+    sig = minhash_signatures(docs, n_hashes, id_col, text_col).persist()
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -141,7 +144,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    tok = distinct_tokens(docs, id_col, text_col)
+    tok = distinct_tokens(docs, id_col, text_col).persist()
     return _jaccard_for_pairs(cand, tok).filter(F.col("jaccard") >= threshold)
 
 
@@ -178,9 +181,14 @@ def ngram_jaccard_pairs(
     """
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
+    # materialize the shingle explode ONCE: it feeds the df cap, both
+    # self-join sides, and the Jaccard set sizes/intersection — six
+    # lineage reuses that would each re-tokenize the corpus otherwise
+    # (unpersist is left to Spark's reference-tracking cleaner, the
+    # standard pattern for multi-use operator intermediates)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles_col(text_col, n)).alias("term")
-    )
+    ).persist()
     rare = (
         sh.groupBy("term")
         .agg(F.count(F.lit(1)).alias("_df"))

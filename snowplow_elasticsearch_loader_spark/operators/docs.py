@@ -201,13 +201,19 @@ def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
     except Exception:
         return None
     maxes = sorted(set(maxes))[:-1]  # last max needs no cut after it
-    if not maxes:
-        return []
     step = max(1, len(maxes) // max(num_ranges - 1, 1))
     # cut strictly ABOVE the file's max conv_id: key = conv_id + NUL +
     # padded idx, and NUL sorts below \x01, so max+"\x01" splits between
     # conv ids without ever splitting one conversation's turns
-    return [m + "\x01" for m in maxes[::step]][: num_ranges - 1]
+    cuts = [m + "\x01" for m in maxes[::step]][: num_ranges - 1]
+    if len(cuts) < max(1, (num_ranges - 1) // 4):
+        # files are NOT range-clustered (a shuffled writer gives every
+        # file ~the same max, collapsing the cut set): a near-empty cut
+        # list would funnel the whole corpus through one rank-window
+        # bucket — a single-task serial stage at any core count. Fall
+        # back to the sampling path instead.
+        return None
+    return cuts
 
 
 def assign_doc_ids(

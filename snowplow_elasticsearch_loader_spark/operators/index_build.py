@@ -474,24 +474,54 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            has_pos = "pos_varint" in pdf.columns
-            terms, ids, tfs, dls, poss = [], [], [], [], []
-            for i, (term, db, tb, lb) in enumerate(
-                zip(pdf["term"], pdf["docs_varint"], pdf["tfs_varint"], pdf["dls_varint"])
-            ):
-                d, t, l = codec.decode_block(bytes(db), bytes(tb), bytes(lb))
-                ids.append(d)
-                tfs.append(t)
-                dls.append(l)
-                terms.append(np.repeat(term, d.size))
-                pb = bytes(pdf["pos_varint"].iat[i]) if has_pos and pdf["pos_varint"].iat[i] is not None else b""
-                poss.extend(decode_positions(pb, t))
+            # whole-batch decode: varints self-delimit, so every
+            # block's byte stream concatenates into ONE varint_decode
+            # call per column, and the per-block delta restarts are
+            # undone with the same segment-cumsum trick the positions
+            # stream uses — no per-block Python loop (r02's .iat loop
+            # was the slowest decode surface).
+            cnt = pdf["doc_count"].to_numpy(np.int64)
+            gaps = codec.varint_decode(
+                b"".join(bytes(x) for x in pdf["docs_varint"])
+            ).astype(np.int64)
+            if gaps.size != int(cnt.sum()):
+                raise ValueError("posting stream length disagrees with doc_count")
+            bstarts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            c = np.cumsum(gaps)
+            base = np.repeat(c[bstarts] - gaps[bstarts], cnt)
+            doc_id = (c - base).astype(np.int64)
+            tf = codec.varint_decode(
+                b"".join(bytes(x) for x in pdf["tfs_varint"])
+            ).astype(np.int64)
+            dl = codec.varint_decode(
+                b"".join(bytes(x) for x in pdf["dls_varint"])
+            ).astype(np.int32)
+            term = np.repeat(pdf["term"].to_numpy(), cnt)
+            if "pos_varint" in pdf.columns:
+                pos_parts = [
+                    bytes(x) if x is not None else b"" for x in pdf["pos_varint"]
+                ]
+                nonempty = sum(1 for p in pos_parts if p)
+                if nonempty in (0, len(pos_parts)):
+                    # uniform batch: one global decode (restarts are
+                    # per posting, so concatenation preserves them)
+                    poss = decode_positions(b"".join(pos_parts), tf)
+                else:
+                    # mixed positional/non-positional blocks (e.g. a
+                    # compaction reading segments built under different
+                    # configs): per-block decode keeps alignment
+                    tf_splits = np.split(tf, np.cumsum(cnt)[:-1])
+                    poss = []
+                    for p, t in zip(pos_parts, tf_splits):
+                        poss.extend(decode_positions(p, t))
+            else:
+                poss = [np.empty(0, dtype=np.int64)] * gaps.size
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(ids).astype(np.int64),
-                    "tf": np.concatenate(tfs).astype(np.int32),
-                    "doclen": np.concatenate(dls).astype(np.int32),
+                    "term": term,
+                    "doc_id": doc_id,
+                    "tf": tf.astype(np.int32),
+                    "doclen": dl,
                     "positions": poss,
                 }
             )

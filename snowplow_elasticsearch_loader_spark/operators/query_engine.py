@@ -17,6 +17,8 @@ queries:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -54,22 +56,47 @@ class QueryEngine:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             self.blocks = self.blocks.cache()
-        self._term_cache: dict[str, tuple[int, int]] | None = None
+        self._serving = cache_blocks
+        # coordinator-eval cap: a point query whose candidate posting
+        # blocks fit comfortably in the driver is answered by gathering
+        # them (one pruned scan job) and running the SAME numpy WAND
+        # evaluator in-process — no shuffle, no python-worker round
+        # trip, no window stage. This is the search-engine coordinator
+        # pattern (shards return postings, coordinator merges); bigger
+        # queries fall back to the distributed per-range path.
+        self.driver_eval_max_blocks = int(
+            os.environ.get("SPARK_GRAFT_DRIVER_EVAL_MAX_BLOCKS", "50000")
+        )
+        # per-term gathered-block cache (the ES node-query-cache
+        # analog): repeated hot terms skip the scan job entirely.
+        # LRU-evicted at ~256 MB of encoded postings.
+        self._block_cache: dict[str, object] = {}
+        self._block_cache_bytes = 0
+        self.block_cache_max_bytes = int(
+            os.environ.get("SPARK_GRAFT_DRIVER_BLOCK_CACHE_MB", "256")
+        ) * (1 << 20)
+        self._term_cache: dict[str, tuple[int, int, int]] | None = None
         if warm:
-            rows = idx.termdict.select("term", "df", "term_bucket").collect()
-            self._term_cache = {r["term"]: (int(r["df"]), int(r["term_bucket"])) for r in rows}
+            rows = idx.termdict.select("term", "df", "term_bucket", "block_count").collect()
+            self._term_cache = {
+                r["term"]: (int(r["df"]), int(r["term_bucket"]), int(r["block_count"]))
+                for r in rows
+            }
             if cache_blocks:
                 self.blocks.count()  # materialize the cache up front
 
-    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
         if self._term_cache is not None:
             return {t: self._term_cache[t] for t in terms if t in self._term_cache}
         rows = (
             self.idx.termdict.filter(F.col("term").isin(terms))
-            .select("term", "df", "term_bucket")
+            .select("term", "df", "term_bucket", "block_count")
             .collect()
         )
-        return {r["term"]: (int(r["df"]), int(r["term_bucket"])) for r in rows}
+        return {
+            r["term"]: (int(r["df"]), int(r["term_bucket"]), int(r["block_count"]))
+            for r in rows
+        }
 
     def search(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """(query_id, rank, doc_id, score) — block-max WAND, one Spark
@@ -85,6 +112,13 @@ class QueryEngine:
         qrows = analyze_queries(queries)
         terms = sorted({t for _, t, _ in qrows})
         tmap = self._lookup(terms)
+        total_blocks = sum(tmap[t][2] for t in terms if t in tmap)
+        if (
+            self._serving
+            and any(t in tmap for t in terms)
+            and total_blocks <= self.driver_eval_max_blocks
+        ):
+            return self._search_driver(qrows, tmap, k)
         qterm_rows = [
             (qid, t, float(qtf) * idf_fn(self.n_docs, tmap[t][0]))
             for qid, t, qtf in qrows
@@ -138,6 +172,129 @@ class QueryEngine:
             ),
         )
         return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "doc_id", "score")
+
+    def _search_driver(self, qrows, tmap, k: int) -> DataFrame:
+        """Coordinator fast path: gather the queries' candidate blocks
+        with ONE pruned (cached) scan job and evaluate the identical
+        numpy block-max WAND in the driver. Ranking (round to 6, desc
+        score, asc doc_id) mirrors the distributed path exactly."""
+        import pandas as pd
+
+        import pandas as _pd
+
+        spark = self.idx.spark
+        hit_terms = sorted(t for t in {t for _, t, _ in qrows} if t in tmap)
+        missing = [t for t in hit_terms if t not in self._block_cache]
+        if missing:
+            buckets = sorted({tmap[t][1] for t in missing})
+            fetched = (
+                self.blocks.filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term").isin(missing))
+                .select("term", "doc_count", "docs_varint", "tfs_varint", "dls_varint")
+                .toPandas()
+            )
+            for t, g in fetched.groupby("term", sort=False):
+                g = g.reset_index(drop=True)
+                nbytes = int(
+                    sum(len(x) for c in ("docs_varint", "tfs_varint", "dls_varint")
+                        for x in g[c])
+                )
+                while (
+                    self._block_cache
+                    and self._block_cache_bytes + nbytes > self.block_cache_max_bytes
+                ):
+                    oldest = next(iter(self._block_cache))
+                    _, ob = self._block_cache.pop(oldest)
+                    self._block_cache_bytes -= ob
+                self._block_cache[t] = (g, nbytes)
+                self._block_cache_bytes += nbytes
+            for t in missing:  # terms with zero blocks still cache empty
+                if t not in self._block_cache:
+                    self._block_cache[t] = (fetched.iloc[0:0], 0)
+        parts = [self._block_cache[t][0] for t in hit_terms if t in self._block_cache]
+        pdf = _pd.concat(parts, ignore_index=True) if parts else None
+        if pdf is None or len(pdf) == 0:
+            return (
+                spark.createDataFrame([], schema=RESULT_SCHEMA)
+                .select("query_id", F.lit(1).alias("rank"), "doc_id", "score")
+                .limit(0)
+            )
+        by_query: dict[str, dict[str, float]] = {}
+        for qid, t, qtf in qrows:
+            if t in tmap:
+                by_query.setdefault(qid, {})[t] = float(qtf) * idf_fn(
+                    self.n_docs, tmap[t][0]
+                )
+        frames = []
+        for qid, wmap in by_query.items():
+            sub = pdf[pdf["term"].isin(list(wmap))]
+            if len(sub) == 0:
+                continue
+            frames.append(self._exact_topk_pandas(qid, sub, wmap, k))
+        if not frames:
+            return (
+                spark.createDataFrame([], schema=RESULT_SCHEMA)
+                .select("query_id", F.lit(1).alias("rank"), "doc_id", "score")
+                .limit(0)
+            )
+        res = pd.concat(frames, ignore_index=True)
+        res["score"] = res["score"].round(6)
+        res = res.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        res["rank"] = res.groupby("query_id").cumcount() + 1
+        res = res[res["rank"] <= k]
+        return spark.createDataFrame(
+            res[["query_id", "rank", "doc_id", "score"]],
+            schema="query_id string, rank int, doc_id long, score double",
+        )
+
+    def _exact_topk_pandas(self, qid: str, sub, wmap: dict[str, float], k: int):
+        """Exact BM25 over gathered candidate blocks, fully vectorized:
+        three whole-batch varint decodes (varints self-delimit, so the
+        block streams concatenate), one segment-cumsum to undo the
+        per-block delta restarts, one per-doc segment sum in the SAME
+        (doc, ascending term) accumulation order as the distributed
+        evaluator and the naive path — bit-identical scores."""
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import codec
+        from .bm25 import quantize_doclen_np
+        from .wand import _exact_scores
+
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        cnt = sub["doc_count"].to_numpy(np.int64)
+        gaps = codec.varint_decode(
+            b"".join(bytes(x) for x in sub["docs_varint"])
+        ).astype(np.int64)
+        bstarts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        c = np.cumsum(gaps)
+        doc = c - np.repeat(c[bstarts] - gaps[bstarts], cnt)
+        tf = codec.varint_decode(
+            b"".join(bytes(x) for x in sub["tfs_varint"])
+        ).astype(np.float64)
+        dl = codec.varint_decode(
+            b"".join(bytes(x) for x in sub["dls_varint"])
+        ).astype(np.float64)
+        if self.cfg.bm25.quantize_doclen:
+            dl = quantize_doclen_np(dl)
+        terms_sorted, t_codes = np.unique(sub["term"].to_numpy(), return_inverse=True)
+        code = np.repeat(t_codes, cnt)
+        w_of = np.array([wmap[t] for t in terms_sorted], dtype=np.float64)
+        contrib = w_of[code] * (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + b * dl / self.avgdl)
+        )
+        d, s = _exact_scores(doc, code, contrib)
+        key = np.round(s, 6)
+        order = np.lexsort((d, -key))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, order.size),
+                "doc_id": d[order].astype(np.int64),
+                "score": s[order],
+            }
+        )
 
     def search_phrase(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """match_phrase over the positional index (same warm-session

@@ -225,15 +225,52 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN (nprobe=1): restrict the exact cosine top-k to the
-    query's coarse cell. The quantizer is a static trained artifact
-    (ivf_centroids.py); at corpus scale the cell column is materialized
-    as a partition key so the scan prunes instead of filtering."""
+    query's coarse cell, computing the cell on the fly (one pass over
+    the embeddings). For the corpus-scale layout where the cell is a
+    physical partition key and the scan PRUNES instead of filtering,
+    see materialize_ivf_cells / ivf_topk_materialized."""
     df = embeddings
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     qcell = _argmax_cell(qvec, centroids)
     in_cell = df.filter(ivf_cell_col(_as_double(vec_col), centroids) == qcell)
     return cosine_topk(in_cell, qvec, k, None, id_col, vec_col)
+
+
+def materialize_ivf_cells(
+    embeddings: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> str:
+    """Physical IVF layout: write the embeddings partitioned by their
+    coarse cell (``ivf_cell=<j>/`` dirs). This is the index-build side
+    of IVF at corpus scale — one pass assigns cells, and every later
+    query reads ONLY its probe cells via partition pruning (the scan's
+    PartitionFilters, no per-row filter over the full corpus)."""
+    out = embeddings.withColumn("ivf_cell", ivf_cell_col(_as_double(vec_col), centroids))
+    out.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    return path
+
+
+def ivf_topk_materialized(
+    spark,
+    path: str,
+    qvec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN (nprobe=1) over a materialize_ivf_cells layout: the
+    ``ivf_cell = qcell`` predicate is a partition filter, so Spark
+    lists and reads only the probe cell's files — query cost scales
+    with cell size, not corpus size. Results are identical to
+    ivf_topk on the same centroids (asserted in tests)."""
+    qcell = _argmax_cell(qvec, centroids)
+    df = spark.read.parquet(path).filter(F.col("ivf_cell") == qcell).drop("ivf_cell")
+    return cosine_topk(df, qvec, k, exclude_id, id_col, vec_col)
 
 
 def _argmax_cell(vec: Sequence[float], centroids: Sequence[Sequence[float]]) -> int:

@@ -153,6 +153,16 @@ def test_query_engine_warm_matches_wand(spark, idx):
     assert key(cold.search(QUERIES, k=10).collect()) == key(fast.collect())
     # absent-only query -> empty result, no job failure
     assert engine.search([("none", "zzzz qqqq")], k=5).count() == 0
+    # serving mode (cache_blocks): the coordinator fast path gathers
+    # candidate blocks driver-side and must stay rank-identical to the
+    # distributed WAND, both cold-cache and from the per-term cache
+    serving = QueryEngine(idx, CFG, warm=True, cache_blocks=True)
+    assert key(serving.search(QUERIES, k=10).collect()) == key(fast.collect())
+    assert key(serving.search(QUERIES, k=10).collect()) == key(fast.collect())
+    assert serving.search([("none", "zzzz qqqq")], k=5).count() == 0
+    # cap=0 forces the distributed fallback inside serving mode
+    serving.driver_eval_max_blocks = 0
+    assert key(serving.search(QUERIES, k=10).collect()) == key(fast.collect())
 
 
 def test_size_violation_routed(spark):

@@ -78,3 +78,17 @@ def test_phrase_scan_is_pruned_and_never_rescans_corpus(spark, sf_tiny):
     assert_in_plan(df, "PartitionFilters: [term_bucket", "BroadcastHashJoin")
     plan = formatted_plan(df)
     assert "documents" not in plan, plan[:3000]
+
+
+def test_ivf_materialized_prunes_partitions_and_matches(spark, sf_tiny):
+    """IVF over the partitioned cell layout must read ONLY the probe
+    cell (PartitionFilters on ivf_cell, no per-row cell computation in
+    the scan) and return exactly what the on-the-fly path returns."""
+    df = C.SPARK_QUERIES["q_ann_ivf_topk_materialized"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [isnotnull(ivf_cell")
+    got = [(r["rank"], r["vec_id"]) for r in df.collect()]
+    ref = [
+        (r["rank"], r["vec_id"])
+        for r in C.SPARK_QUERIES["q_ann_ivf_topk"](spark, sf_tiny).collect()
+    ]
+    assert got == ref
