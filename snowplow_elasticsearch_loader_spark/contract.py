@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from .config import DEFAULT_CONFIG
 from .functions.analyze import duckdb_tokens_expr
+from .functions.localdf import literal_df
 from .operators import bm25, postings as P
 from .queryset import DEFAULT_K, REFERENCE_QUERIES, queries_sql_values
 from .sources import load_table
@@ -199,7 +200,7 @@ def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qid, t)
         for qid, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)
     ]
-    qt = spark.createDataFrame(qterms, "query_id string, term string")
+    qt = literal_df(spark, qterms, "query_id string, term string")
     need = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("need"))
     have = (
         posts.join(F.broadcast(qt), "term")

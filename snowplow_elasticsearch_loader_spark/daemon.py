@@ -49,6 +49,15 @@ except Exception:
 
 import pyspark.daemon as _pyspark_daemon
 
+# glibc tuning for every worker: mallopt in the DAEMON process is
+# inherited by forked workers (fork preserves allocator state). This
+# must NOT travel as MALLOC_*_ env vars — the JVM would inherit those
+# and its native allocation pattern degrades 20-30x under them
+# (session.py has the measurements).
+from .session import apply_malloc_tuning as _amt
+
+_amt()
+
 
 def _prefault_arena() -> None:
     """Fault the worker's glibc heap in ONE sequential pass.

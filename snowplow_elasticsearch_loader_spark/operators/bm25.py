@@ -91,12 +91,17 @@ def query_term_weights(
 ) -> DataFrame:
     """Literal (query_id, term, w) table; terms absent from the corpus
     are dropped (they contribute 0 to every doc, like ES)."""
+    from ..functions.localdf import literal_df
+
     rows = [
         (qid, term, float(qtf) * idf(n_docs, term_df[term]))
         for qid, term, qtf in analyze_queries(queries)
         if term in term_df
     ]
-    return spark.createDataFrame(rows, schema=QTERMS_SCHEMA)
+    # literal plan, NOT createDataFrame: the pickled-RDD scan the
+    # latter produces forks python workers on every re-evaluation of
+    # the broadcast side (localdf.py has the measurement)
+    return literal_df(spark, rows, QTERMS_SCHEMA)
 
 
 def collect_query_term_stats(

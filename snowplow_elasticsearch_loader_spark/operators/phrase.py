@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import codec
+from ..functions.localdf import literal_df
 from ..functions.analyze import tokenize_text
 from .bm25 import idf as idf_fn
 from .index_build import decode_positions
@@ -173,9 +174,10 @@ def phrase_topk(
     ).limit(0)
     if not qrows:
         return empty
-    qterms = spark.createDataFrame(
+    qterms = literal_df(
+        spark,
         qrows,
-        schema=T.StructType(
+        T.StructType(
             [
                 T.StructField("query_id", T.StringType()),
                 T.StructField("term", T.StringType()),

@@ -43,6 +43,7 @@ from pyspark.sql.window import Window
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import codec
+from ..functions.localdf import literal_df
 from .bm25 import analyze_queries, idf as idf_fn
 
 #: block columns the BM25 evaluator needs (column pruning contract —
@@ -246,9 +247,10 @@ def wand_topk(
         return empty.select(
             "query_id", F.lit(1).alias("rank"), "doc_id", "score"
         ).limit(0)
-    qterms = spark.createDataFrame(
+    qterms = literal_df(
+        spark,
         qterm_rows,
-        schema=T.StructType(
+        T.StructType(
             [
                 T.StructField("query_id", T.StringType()),
                 T.StructField("term", T.StringType()),

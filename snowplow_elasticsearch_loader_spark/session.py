@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Allocator environment for every Python worker (and the driver).
+# Allocator environment for Python processes.
 #
 # pyarrow's DEFAULT memory pool (jemalloc) cost 10-40 s of pure KERNEL
 # time per fresh worker process on the first pandas-UDF group and
@@ -22,22 +22,44 @@ from pyspark.sql import SparkSession
 # Measured on the SPIMI range builder (32k-doc group, 8 workers pinned
 # to 8 CPUs): jemalloc cold 38 s -> system pool cold 1-5 s, warm calls
 # ~1 s either way; mimalloc collapses identically to jemalloc at 8-way.
-# The glibc knobs stop malloc from returning the big posting arrays to
-# the OS between groups (trim -> re-fault cycles showed up as 13 s/call
-# stime spikes).
+#
+# The matching glibc knobs (mmap threshold pinned to 64 MB, trim
+# disabled, so the big posting arrays stay in the arena between groups)
+# must reach ONLY Python processes: exporting MALLOC_*_ env vars here
+# poisons the JVM, which inherits the driver's environment — the two
+# vars combined made JVM-side queries 20-30x slower (measured: the
+# naive-BM25 job 7.5 s -> 150-210 s). They are therefore applied via
+# mallopt(3) inside daemon.py (pre-fork, inherited by workers through
+# fork) and in _apply_alloc_env for the driver process itself — never
+# through the environment.
 _WORKER_ALLOC_ENV = {
-    "ARROW_DEFAULT_MEMORY_POOL": "system",
-    "MALLOC_MMAP_THRESHOLD_": "67108864",
-    "MALLOC_TRIM_THRESHOLD_": "2147483647",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",  # read by pyarrow only; JVM-safe
 }
 
 
+def apply_malloc_tuning() -> None:
+    """Tune THIS process's glibc via mallopt(3): keep <=64 MB arrays on
+    the arena (not per-call mmap/munmap) and never trim freed space
+    back to the OS — re-faulting it cost 13 s/call kernel-time spikes
+    under this sandbox's free-page-reporting kernel. Process-local:
+    children created with exec (the JVM) are unaffected."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 67108864)
+        libc.mallopt(M_TRIM_THRESHOLD, 2147483647)
+    except Exception:
+        pass
+
+
 def _apply_alloc_env() -> None:
-    """Set allocator env in THIS process: in local mode the JVM (and
-    the pyspark.daemon it forks python workers from) inherits the
-    driver's environment, so this must run before the JVM starts."""
+    """Arrow pool env for the driver + (via inheritance) every python
+    worker; malloc tuning for the driver process in-memory only."""
     for k, v in _WORKER_ALLOC_ENV.items():
         os.environ.setdefault(k, v)
+    apply_malloc_tuning()
 
 
 def get_spark(
