@@ -289,23 +289,33 @@ def main() -> None:
     # adaptive reps: 2 pairs when they agree (host weather was steady),
     # a 3rd as tie-breaker when they disagree; median over what ran
     reps_env = os.environ.get("BENCH_BUILD_REPS")
-    max_reps = int(reps_env) if reps_env else 4
+    max_reps = int(reps_env) if reps_env else 6
+    #: a pair only counts toward the headline when its CONTROL scaled —
+    #: the control (pure compute, no engine) defines the host's
+    #: delivered ceiling for that window; r3 observed whole WINDOWS
+    #: where identical builds ran 3.6x slower with the control itself
+    #: at 0.73-0.78, and consistency-gating alone accepted them.
+    CTL_GOOD = float(os.environ.get("BENCH_CTL_GOOD", "0.85"))
     dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
     stages_small, stages_big = [], []
     pair_effs, pair_ctl_effs, pair_norm = [], [], []
     n_turns = 0
     med = statistics.median
     spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)  # noqa: E731
+    good = lambda: [i for i, c in enumerate(pair_ctl_effs) if c >= CTL_GOOD]  # noqa: E731
     for rep in range(max_reps):
-        # early stop ONLY when both the pair ratios AND the raw runs
-        # agree: r02 stopped on ratio agreement alone while the raw
-        # small-side runs spread 0.52 — ratios can agree while both
-        # measurements are garbage (VERDICT r02 wrong #4)
+        # early stop needs: >=2 pairs measured in CLEAN host windows
+        # (control scaled), their ratios agreeing, and the raw runs of
+        # those clean pairs tight — r02 stopped on ratio agreement
+        # alone while raw runs spread 0.52 (VERDICT r02 wrong #4)
         if rep >= 2 and not reps_env:
-            ratios_ok = abs(pair_effs[-1] - pair_effs[-2]) <= 0.15
-            spreads_ok = spread(dts_small) <= 0.15 and spread(dts_big) <= 0.15
-            if ratios_ok and spreads_ok:
-                break
+            g = good()
+            if len(g) >= 2:
+                ratios_ok = abs(pair_effs[g[-1]] - pair_effs[g[-2]]) <= 0.15
+                gs = [dts_small[i] for i in g]
+                gb = [dts_big[i] for i in g]
+                if ratios_ok and spread(gs) <= 0.15 and spread(gb) <= 0.15:
+                    break
         dt_s, ctl_s, n_turns, st_s = pinned_build(N_SMALL, corpus, warm_corpus)
         dt_b, ctl_b, _, st_b = pinned_build(N_BIG, corpus, warm_corpus)
         stages_small.append(st_s)
@@ -321,11 +331,17 @@ def main() -> None:
         pair_norm.append(min(raw / ctl, 1.0) if ctl > 0 else 0.0)
         log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}) | "
             f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}) | eff {raw:.2f} | "
-            f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}")
-    dt_small, dt_big = med(dts_small), med(dts_big)
+            f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}"
+            + ("" if ctl >= CTL_GOOD else " | window DEGRADED (excluded)"))
+    g = good()
+    #: headline = median over clean-window pairs; all pairs published
+    eff_pairs = [pair_effs[i] for i in g] if len(g) >= 1 else pair_effs
+    sel_small = [dts_small[i] for i in g] if len(g) >= 1 else dts_small
+    sel_big = [dts_big[i] for i in g] if len(g) >= 1 else dts_big
+    dt_small, dt_big = med(sel_small), med(sel_big)
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
-    eff = med(pair_effs)
+    eff = med(eff_pairs)
     ctl_eff = med(pair_ctl_effs)
     results["build"] = {
         "turns": n_turns,
@@ -346,6 +362,9 @@ def main() -> None:
         "pair_control_efficiencies": [round(x, 3) for x in pair_ctl_effs],
         "pair_normalized_efficiencies": [round(x, 3) for x in pair_norm],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_allpairs": round(med(pair_effs), 3),
+        "clean_window_pairs": g,
+        "ctl_good_threshold": CTL_GOOD,
         "control_scaling_efficiency": round(ctl_eff, 3),
         "scaling_efficiency_normalized": round(med(pair_norm), 3),
         # per-stage medians at each level + per-stage scaling efficiency
