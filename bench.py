@@ -51,12 +51,13 @@ BENCH_TMP = os.environ.get(
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-# 40k convs (~1.44M turns): large enough that the 4N side's parallel
-# work dominates the ~10-15s of fixed per-build cost (job planning,
-# python-worker cold start, commit) — at 16-24k convs the ratio measures
-# that fixed cost, not the engine (pinned quiet: 0.87-0.89 at 40k+,
-# ~0.6 at 24k, by Amdahl with identical code)
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
+# 80k convs (~2.9M turns): big enough that the 4N side's parallel work
+# dominates the ~8-10s of fixed per-build cost (job planning, python
+# worker spawn, commit). Measured clean-window pairs by Amdahl with
+# identical code: raw eff ~0.71 at 40k (8-core build 26s), 0.91 at 80k
+# (8-core build 59s, control 0.96) — the smaller corpus measures fixed
+# cost, not the engine.
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "80000"))
 #: corpus for the latency section (kept fixed across rounds so p50/p99
 #: are comparable round-over-round regardless of the scaling corpus)
 LATENCY_CONVS = int(os.environ.get("BENCH_LATENCY_CONVS", "16000"))
@@ -289,7 +290,7 @@ def main() -> None:
     # adaptive reps: 2 pairs when they agree (host weather was steady),
     # a 3rd as tie-breaker when they disagree; median over what ran
     reps_env = os.environ.get("BENCH_BUILD_REPS")
-    max_reps = int(reps_env) if reps_env else 6
+    max_reps = int(reps_env) if reps_env else 4
     #: a pair only counts toward the headline when its CONTROL scaled —
     #: the control (pure compute, no engine) defines the host's
     #: delivered ceiling for that window; r3 observed whole WINDOWS
