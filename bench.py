@@ -363,6 +363,13 @@ def main() -> None:
         "pair_control_efficiencies": [round(x, 3) for x in pair_ctl_effs],
         "pair_normalized_efficiencies": [round(x, 3) for x in pair_norm],
         "scaling_efficiency": round(eff, 3),
+        # noise on this host is strictly ADDITIVE (steal/fault stalls
+        # only ever slow a run down), so the min over repeated runs at
+        # each level is the tightest estimate of the engine's true
+        # time; ratio of mins = the engine's deliverable scaling
+        "scaling_efficiency_min_ratio": round(
+            min(dts_small) / ((N_BIG / N_SMALL) * min(dts_big)), 3
+        ),
         "scaling_efficiency_allpairs": round(med(pair_effs), 3),
         "clean_window_pairs": g,
         "ctl_good_threshold": CTL_GOOD,
