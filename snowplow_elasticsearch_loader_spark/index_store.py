@@ -65,6 +65,24 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+def resolve_table_dir(index_dir: str, name: str) -> str:
+    """Physical dir for a logical table. ``blocks``/``termdict`` go
+    through the manifest pointer when one exists (compaction swaps both
+    with ONE small-file write instead of directory renames — the
+    object-store-safe commit primitive). Writers that append into a
+    possibly-compacted index (streaming) MUST resolve through this too:
+    writing to the base ``blocks/`` dir after a compaction has retired
+    it would make the new blocks invisible to readers and eligible for
+    the next compaction's grace-period GC (ADVICE r3)."""
+    if name in ("blocks", "termdict"):
+        man = os.path.join(index_dir, "_manifest.json")
+        if os.path.exists(man):
+            with open(man) as fh:
+                m = json.load(fh)
+            return os.path.join(index_dir, m.get(name, name))
+    return os.path.join(index_dir, name)
+
+
 def input_snapshot(df) -> str:
     """Stable identity of a DataFrame's source snapshot.
 
@@ -103,17 +121,7 @@ class InvertedIndex:
         ensure_shipped(self.spark)
 
     def _resolve(self, name: str) -> str:
-        """Physical dir for a logical table. ``blocks``/``termdict`` go
-        through the manifest pointer when one exists (compaction swaps
-        both with ONE small-file write instead of directory renames —
-        the object-store-safe commit primitive)."""
-        if name in ("blocks", "termdict"):
-            man = os.path.join(self.path, "_manifest.json")
-            if os.path.exists(man):
-                with open(man) as fh:
-                    m = json.load(fh)
-                return os.path.join(self.path, m.get(name, name))
-        return os.path.join(self.path, name)
+        return resolve_table_dir(self.path, name)
 
     def _t(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._resolve(name))

@@ -167,9 +167,18 @@ def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
         # inputFiles() on a JOIN returns the other side's files too —
         # e.g. the streaming cross-batch anti-join probe would hand us
         # the DOCUMENTS table's footers as cuts for the batch. Only a
-        # bare scan's statistics describe the data being ranked.
-        if "Join" in df._jdf.queryExecution().analyzed().toString():
-            return None
+        # bare scan's statistics describe the data being ranked. Walk
+        # the analyzed tree for actual Join NODES (nodeName, never the
+        # pretty-printed string — a column named e.g. joinDate would
+        # false-positive there and silently disable the optimization).
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if "Join" in node.nodeName():
+                return None
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
         files = df.inputFiles()
     except Exception:
         return None

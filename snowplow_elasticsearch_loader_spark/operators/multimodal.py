@@ -74,6 +74,10 @@ _META_SCHEMA = T.StructType(
         T.StructField("payload_bytes", T.IntegerType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("byte_std", T.DoubleType()),
+        # badrow-style quarantine (framework contract, ADVICE r3):
+        # malformed payloads yield error != null with null header
+        # fields instead of failing the whole job
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -112,20 +116,28 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             n = len(pdf)
             starts = offs[:-1]
             sizes = offs[1:] - starts
-            if (sizes < 19).any():
-                bad = pdf["asset_id"].to_numpy()[sizes < 19][:3]
-                raise ValueError(
-                    f"payload shorter than container header for assets {bad.tolist()}"
-                )
-            # header gather: 4 magic + 3 tag + 12 u32 bytes per row
-            hdr = buf[starts[:, None] + np.arange(19)]
-            magic_ok = (hdr[:, :4] == np.frombuffer(b"FAKE", np.uint8)).all(axis=1)
-            if not magic_ok.all():
-                bad = pdf["asset_id"].to_numpy()[~magic_ok][:3]
-                raise ValueError(f"unknown container for assets {bad.tolist()}")
-            w = _u32le(hdr, 7)
-            h = _u32le(hdr, 11)
-            fr = _u32le(hdr, 15)
+            # per-row quarantine (ADVICE r3): rows too short for the
+            # container header are MASKED OUT of the vectorized gather
+            # (a blind gather would read the next row's bytes — or walk
+            # off the buffer on the last row) and emitted with error !=
+            # null, badrow-style, instead of aborting the whole job
+            valid = sizes >= 19
+            w = np.zeros(n, dtype=np.int64)
+            h = np.zeros(n, dtype=np.int64)
+            fr = np.zeros(n, dtype=np.int64)
+            magic_ok = valid.copy()
+            if valid.any():
+                vstarts = starts[valid]
+                hdr = buf[vstarts[:, None] + np.arange(19)]
+                mok = (hdr[:, :4] == np.frombuffer(b"FAKE", np.uint8)).all(axis=1)
+                magic_ok[valid] = mok
+                w[valid] = _u32le(hdr, 7)
+                h[valid] = _u32le(hdr, 11)
+                fr[valid] = _u32le(hdr, 15)
+            ok = magic_ok  # magic_ok implies valid
+            err = np.full(n, None, dtype=object)
+            err[~valid] = "short_payload: smaller than 19-byte container header"
+            err[valid & ~magic_ok] = "unknown_container: bad magic"
             # body stats via segment reduces over the flat buffer
             body_starts = np.minimum(starts + 19, offs[1:])
             body_len = offs[1:] - body_starts
@@ -138,16 +150,18 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             mean = np.where(body_len > 0, s1 / safe, 0.0)
             var = np.maximum(s2 / safe - mean * mean, 0.0)
             std = np.where(body_len > 0, np.sqrt(var), 0.0)
+            mask = ~ok
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(np.int64),
                     "kind": pdf["kind"].to_numpy(),
-                    "width": w.astype(np.int32),
-                    "height": h.astype(np.int32),
-                    "n_frames": fr.astype(np.int32),
+                    "width": pd.arrays.IntegerArray(w.astype(np.int32), mask=mask),
+                    "height": pd.arrays.IntegerArray(h.astype(np.int32), mask=mask),
+                    "n_frames": pd.arrays.IntegerArray(fr.astype(np.int32), mask=mask),
                     "payload_bytes": (offs[1:] - starts).astype(np.int32),
-                    "byte_mean": mean,
-                    "byte_std": std,
+                    "byte_mean": np.where(ok, mean, np.nan),
+                    "byte_std": np.where(ok, std, np.nan),
+                    "error": err,
                 }
             )
 
@@ -199,15 +213,20 @@ def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
             buf, offs = _concat_payloads(vid["payload"])
             starts = offs[:-1]
             sizes = offs[1:] - starts
-            # per-row validation BEFORE the gather: a <19-byte payload
+            # per-row quarantine BEFORE the gather: a <19-byte payload
             # would otherwise read header bytes from the NEXT row's
             # slice of the concatenated buffer (or IndexError on the
-            # last row) instead of failing cleanly per row
-            if (sizes < 19).any():
-                bad = vid["asset_id"].to_numpy()[sizes < 19][:3]
-                raise ValueError(
-                    f"payload shorter than container header for assets {bad.tolist()}"
-                )
+            # last row). Malformed rows emit no frames (badrow-style —
+            # extract_metadata carries their error) instead of failing
+            # the whole job (ADVICE r3).
+            valid = sizes >= 19
+            if not valid.all():
+                vid = vid[valid]
+                if len(vid) == 0:
+                    continue
+                buf, offs = _concat_payloads(vid["payload"])
+                starts = offs[:-1]
+                sizes = offs[1:] - starts
             hdr = buf[starts[:, None] + np.arange(19)]
             fr = _u32le(hdr, 15)
             body_len = sizes - 19

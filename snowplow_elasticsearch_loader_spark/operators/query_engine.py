@@ -177,14 +177,26 @@ class QueryEngine:
         """Coordinator fast path: gather the queries' candidate blocks
         with ONE pruned (cached) scan job and evaluate the identical
         numpy block-max WAND in the driver. Ranking (round to 6, desc
-        score, asc doc_id) mirrors the distributed path exactly."""
-        import pandas as pd
+        score, asc doc_id) mirrors the distributed path exactly.
 
-        import pandas as _pd
+        The per-term cache is a true LRU (hits refresh recency) and the
+        CURRENT query's frames are held in a local dict before any
+        eviction runs, so cache pressure can never drop a term this
+        query needs (it at worst bypasses the cache for that term)."""
+        import pandas as pd
 
         spark = self.idx.spark
         hit_terms = sorted(t for t in {t for _, t, _ in qrows} if t in tmap)
-        missing = [t for t in hit_terms if t not in self._block_cache]
+        needed = set(hit_terms)
+        qframes: dict[str, object] = {}
+        missing: list[str] = []
+        for t in hit_terms:
+            ent = self._block_cache.pop(t, None)
+            if ent is not None:
+                self._block_cache[t] = ent  # re-insert = refresh LRU recency
+                qframes[t] = ent[0]
+            else:
+                missing.append(t)
         if missing:
             buckets = sorted({tmap[t][1] for t in missing})
             fetched = (
@@ -193,26 +205,30 @@ class QueryEngine:
                 .select("term", "doc_count", "docs_varint", "tfs_varint", "dls_varint")
                 .toPandas()
             )
-            for t, g in fetched.groupby("term", sort=False):
-                g = g.reset_index(drop=True)
+            grouped = {t: g.reset_index(drop=True) for t, g in fetched.groupby("term", sort=False)}
+            for t in missing:
+                g = grouped.get(t, fetched.iloc[0:0])
+                qframes[t] = g
                 nbytes = int(
                     sum(len(x) for c in ("docs_varint", "tfs_varint", "dls_varint")
                         for x in g[c])
                 )
-                while (
-                    self._block_cache
-                    and self._block_cache_bytes + nbytes > self.block_cache_max_bytes
-                ):
-                    oldest = next(iter(self._block_cache))
-                    _, ob = self._block_cache.pop(oldest)
+                # evict LRU-first, but never a term the current query
+                # holds; if only needed terms remain and the budget is
+                # still exceeded, bypass the cache for this term
+                while self._block_cache_bytes + nbytes > self.block_cache_max_bytes:
+                    victim = next(
+                        (v for v in self._block_cache if v not in needed), None
+                    )
+                    if victim is None:
+                        break
+                    _, ob = self._block_cache.pop(victim)
                     self._block_cache_bytes -= ob
-                self._block_cache[t] = (g, nbytes)
-                self._block_cache_bytes += nbytes
-            for t in missing:  # terms with zero blocks still cache empty
-                if t not in self._block_cache:
-                    self._block_cache[t] = (fetched.iloc[0:0], 0)
-        parts = [self._block_cache[t][0] for t in hit_terms if t in self._block_cache]
-        pdf = _pd.concat(parts, ignore_index=True) if parts else None
+                if self._block_cache_bytes + nbytes <= self.block_cache_max_bytes:
+                    self._block_cache[t] = (g, nbytes)
+                    self._block_cache_bytes += nbytes
+        parts = [qframes[t] for t in hit_terms]
+        pdf = pd.concat(parts, ignore_index=True) if parts else None
         if pdf is None or len(pdf) == 0:
             return (
                 spark.createDataFrame([], schema=RESULT_SCHEMA)

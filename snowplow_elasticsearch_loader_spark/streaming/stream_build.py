@@ -36,6 +36,7 @@ from ..index_store import (
     InvertedIndex,
     _append,
     _done_partitions,
+    resolve_table_dir,
 )
 from ..operators import index_build
 from ..operators.docs import assign_doc_ids, split_good_bad
@@ -151,10 +152,26 @@ def process_stream_batch(
     good, bad = split_good_bad(batch_df, cfg)
     docs_dir = os.path.join(index_dir, "documents")
     if os.path.exists(docs_dir):
-        prior_keys = (
-            spark.read.parquet(docs_dir)
-            .filter(F.col("batch_seg") != batch_id)
-            .select("conv_id", "turn_idx")
+        prior = spark.read.parquet(docs_dir)
+        # A doc store written by the BATCH build path has no batch_seg
+        # partition (ADVICE r3: the unguarded filter crash-looped the
+        # stream on its first micro-batch). Proceeding would be worse
+        # than crashing: streamed segments partition by
+        # (batch_seg, shard_date) while batch dirs partition by
+        # shard_date only, and parquet partition discovery rejects
+        # mixed-depth layouts on the NEXT read — so refuse up front
+        # with an actionable error instead of corrupting the dir.
+        if "batch_seg" not in prior.columns:
+            raise ValueError(
+                "stream-append refused: the documents table at "
+                f"{docs_dir} was written by the batch build path (no "
+                "batch_seg segment column); its shard_date-only "
+                "partition layout is incompatible with streaming's "
+                "per-segment overwrites. Stream into a fresh index dir, "
+                "or rebuild this index via incremental_index_build."
+            )
+        prior_keys = prior.filter(F.col("batch_seg") != batch_id).select(
+            "conv_id", "turn_idx"
         )
         good = good.join(prior_keys, ["conv_id", "turn_idx"], "left_anti")
 
@@ -197,10 +214,17 @@ def process_stream_batch(
     sum_after = int(base["sum_dl"]) + sum_batch
     avgdl = float(sum_after) / float(n_after) if n_after else 1.0
     if n_batch:
+        # resolve through the manifest: after a compact_index the live
+        # blocks dir is blocks_v<N>, and appending to the retired base
+        # dir would be silent data loss (invisible to readers, GC'd by
+        # the next compaction). New ranges start past the persisted max
+        # doc id, so their (term_bucket, range_id) partitions are
+        # collision-free with compacted ones under the same
+        # docs_per_range (streaming and compaction must share cfg).
         index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode(
             "overwrite"
         ).options(**dyn).partitionBy("term_bucket", "range_id").parquet(
-            os.path.join(index_dir, "blocks")
+            resolve_table_dir(index_dir, "blocks")
         )
     _write_state(
         index_dir,
@@ -305,9 +329,9 @@ def finalize_streamed_index(
     _write_corpus(
         spark, index_dir, int(row["n"]), float(row["s"]) / float(row["n"]) if row["n"] else 0.0
     )
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = spark.read.parquet(resolve_table_dir(index_dir, "blocks"))
     index_build.termdict_from_blocks(blocks).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "termdict")
+        resolve_table_dir(index_dir, "termdict")
     )
     return InvertedIndex(spark, index_dir, cfg)
 

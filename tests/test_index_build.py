@@ -286,3 +286,37 @@ def test_phrase_topk_index_matches_relational(spark, idx):
     assert g == e, (g[:5], e[:5])
     assert not any(q == "ph-4" for q, *_ in g)
     assert any(q == "ph-1" for q, *_ in g)  # hot phrase matches exist
+
+
+def test_driver_block_cache_lru_and_no_current_query_eviction(spark, idx):
+    """ADVICE r3 (high): cache pressure must never evict a term the
+    CURRENT query needs (results were silently scored without it), and
+    eviction order must be true LRU (hits refresh recency), not FIFO."""
+    from snowplow_elasticsearch_loader_spark.operators.query_engine import QueryEngine
+
+    fast = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), QUERIES, k=10, cfg=CFG)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    expect = key(fast.collect())
+    serving = QueryEngine(idx, CFG, warm=True, cache_blocks=True)
+    # budget so small every multi-term query overflows it: correctness
+    # must hold via cache bypass, not by dropping current-query terms
+    serving.block_cache_max_bytes = 1
+    assert key(serving.search(QUERIES, k=10).collect()) == expect
+    assert key(serving.search(QUERIES, k=10).collect()) == expect
+    # LRU order: fill with a,b; hit a; insert c under pressure -> b
+    # (least recently used) is evicted, a survives
+    serving2 = QueryEngine(idx, CFG, warm=True, cache_blocks=True)
+    serving2.search([("q1", "error")], k=5).collect()
+    serving2.search([("q2", "retry")], k=5).collect()
+    serving2.search([("q3", "error")], k=5).collect()  # refresh 'error'
+    assert list(serving2._block_cache) == ["retry", "error"]
+    sizes = {t: e[1] for t, e in serving2._block_cache.items()}
+    serving2.block_cache_max_bytes = serving2._block_cache_bytes + 1
+    serving2.search([("q4", "timeout")], k=5).collect()
+    assert "retry" not in serving2._block_cache  # LRU victim
+    assert "error" in serving2._block_cache and "timeout" in serving2._block_cache
+    assert serving2._block_cache_bytes == sum(
+        e[1] for e in serving2._block_cache.values()
+    ) and sizes["error"] == serving2._block_cache["error"][1]

@@ -553,3 +553,108 @@ def test_compaction_reader_grace_window(spark):
         assert InvertedIndex(spark, idx_dir, SCFG).blocks.count() == old_n
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_stream_append_into_batch_built_dir_refused(spark):
+    """ADVICE r3 (medium): a documents dir from the batch build path has
+    no batch_seg segment column; the first micro-batch used to die on an
+    AnalysisException crash loop. It must now refuse up front with an
+    actionable error (proceeding would write a mixed-depth partition
+    layout that breaks the next read), before any write happens."""
+    import os
+
+    from snowplow_elasticsearch_loader_spark.index_store import build_index
+    from snowplow_elasticsearch_loader_spark.streaming.stream_build import (
+        process_stream_batch,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="batchdir-idx-")
+    try:
+        tr = synth_transcripts(spark, n_convs=8, seed=5, with_anomalies=False)
+        build_index(spark, tr, idx_dir, SCFG)
+        more = synth_transcripts(spark, n_convs=4, seed=6, with_anomalies=False)
+        docs_before = sorted(os.listdir(os.path.join(idx_dir, "documents")))
+        with pytest.raises(ValueError, match="stream-append refused"):
+            process_stream_batch(spark, more, 0, idx_dir, SCFG)
+        # refused BEFORE any write: doc store untouched
+        assert sorted(os.listdir(os.path.join(idx_dir, "documents"))) == docs_before
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_stream_append_after_compaction_lands_in_live_dir(spark):
+    """ADVICE r3 (medium): once compact_index has flipped the manifest
+    to blocks_v<N>, streamed blocks must land in the LIVE dir (and the
+    termdict refresh in its versioned dir) — writing to the retired base
+    'blocks' dir would be invisible to readers and GC'd."""
+    import glob
+    import os
+
+    from snowplow_elasticsearch_loader_spark.index_store import (
+        InvertedIndex,
+        compact_index,
+    )
+    from snowplow_elasticsearch_loader_spark.streaming.stream_build import (
+        finalize_streamed_index,
+        incremental_index_build,
+    )
+
+    in_dir = tempfile.mkdtemp(prefix="compstream-in-")
+    idx_dir = tempfile.mkdtemp(prefix="compstream-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="compstream-cp-")
+    try:
+        tr = synth_transcripts(spark, n_convs=12, seed=21, with_anomalies=False)
+        first = tr.filter(F.col("conv_id") < "conv-00000008")
+        second = tr.filter(F.col("conv_id") >= "conv-00000008")
+        _flat_stream_files(in_dir, [first])
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        idx = InvertedIndex(spark, idx_dir, SCFG)
+        idx = compact_index(idx, SCFG)  # manifest now points at blocks_v1
+        # new files arrive in the SAME input dir; the SAME streaming
+        # checkpoint continues batch numbering (a fresh checkpoint would
+        # restart at batch 0 and replay-overwrite segment 0 by design)
+        sub = in_dir + "/more"
+        second.coalesce(1).write.mode("overwrite").parquet(sub)
+        f = sorted(glob.glob(sub + "/part-*.parquet"))[0]
+        os.rename(f, os.path.join(in_dir, "9999.parquet"))
+        shutil.rmtree(sub)
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        idx2 = finalize_streamed_index(spark, idx_dir, SCFG)
+        # every good turn queryable through the live (manifest) blocks
+        n_docs = idx2.documents.count()
+        assert n_docs == tr.count()
+        decoded_docs = idx2.postings().select("doc_id").distinct().count()
+        nonempty = idx2.docstats.filter(F.col("doclen") > 0).count()
+        assert decoded_docs == nonempty
+        # the streamed blocks physically live under the manifest dir,
+        # and the retired base dir gained no new files
+        live = idx2._resolve("blocks")
+        assert os.path.basename(live) == "blocks_v1"
+        assert glob.glob(os.path.join(live, "term_bucket=*"))
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multimodal_malformed_payload_quarantined(spark):
+    """ADVICE r3 (low): a payload shorter than the 19-byte container
+    header (or with a bad magic) is quarantined per row — error column
+    set, header fields null — instead of aborting the Spark job."""
+    rows = [
+        (0, "image", MM.fake_payload(0, "image"), {}),
+        (1, "image", b"tiny", {}),  # shorter than the header
+        (2, "video", b"NOTFAKE" + b"\x00" * 20, {}),  # bad magic
+        (3, "video", MM.fake_payload(3, "video"), {}),
+        (4, "video", b"\x01", {}),  # short video payload
+    ]
+    assets = spark.createDataFrame(rows, schema=MM.ASSET_SCHEMA)
+    meta = {r["asset_id"]: r for r in MM.extract_metadata(assets).collect()}
+    assert len(meta) == 5
+    assert meta[0]["error"] is None and meta[0]["width"] >= 16
+    assert "short_payload" in meta[1]["error"] and meta[1]["width"] is None
+    assert "unknown_container" in meta[2]["error"] and meta[2]["n_frames"] is None
+    assert meta[3]["error"] is None
+    assert "short_payload" in meta[4]["error"]
+    # frame sampling skips the malformed video rows, keeps the good one
+    frames = MM.sample_frames(assets, every=2).collect()
+    assert frames and {r["asset_id"] for r in frames} == {3}

@@ -92,3 +92,25 @@ def test_ivf_materialized_prunes_partitions_and_matches(spark, sf_tiny):
         for r in C.SPARK_QUERIES["q_ann_ivf_topk"](spark, sf_tiny).collect()
     ]
     assert got == ref
+
+
+def test_footer_cuts_join_detection_is_node_based(spark, tmp_path):
+    """ADVICE r3 (low): join detection must inspect plan NODES, not the
+    pretty-printed string — a column literally named 'joinDate' must NOT
+    disable the footer-cuts optimization, while a real join must."""
+    from snowplow_elasticsearch_loader_spark.operators.docs import _footer_cuts
+
+    p = str(tmp_path / "fc")
+    df = spark.range(200).selectExpr(
+        "concat('conv-', lpad(cast(id as string), 8, '0')) as conv_id",
+        "cast(id as int) as turn_idx",
+        "cast(id as string) as joinDate",
+    )
+    df.repartitionByRange(6, "conv_id").write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    # bare scan with a 'Join'-substring column name: cuts produced
+    assert _footer_cuts(scan.select("conv_id", "turn_idx", "joinDate"), 4)
+    # real join: refused (other side's files would pollute the cuts)
+    other = spark.range(5).selectExpr("concat('conv-', lpad(cast(id as string), 8, '0')) as conv_id")
+    joined = scan.join(other, "conv_id", "left_anti")
+    assert _footer_cuts(joined, 4) is None
