@@ -405,7 +405,30 @@ def main() -> None:
         "bm25_latency_ms": results["bm25_latency_ms"],
         "bench_wall_sec": round(time.time() - t_all, 1),
     }
-    print(json.dumps(out))
+    # Full result (every raw run, stage timings) -> a file; stdout gets a
+    # COMPACT line. The driver records only the last ~2000 chars of
+    # output, and r03's full line overflowed that window, making the
+    # recorded artifact unparseable (VERDICT r3 #2). The compact line
+    # keeps every headline number and points at the full file.
+    full_path = os.path.join(REPO, "BENCH", "result.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    compact = dict(out)
+    compact["build"] = {
+        k: v
+        for k, v in results["build"].items()
+        if not isinstance(v, (list, dict))
+    }
+    # stage_efficiency is the per-stage attribution evidence — small
+    # enough to keep on the compact line; raw runs live in the file
+    compact["build"]["stage_efficiency"] = results["build"]["stage_efficiency"]
+    compact["build"]["detail"] = "BENCH/result.json"
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt and braces: never overflow the capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

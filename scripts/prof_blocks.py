@@ -47,6 +47,7 @@ def get_spark(cores, shufpart, tag):
             "spark.local.dir": os.path.join(SHM, "spark-local"),
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            **json.loads(os.environ.get("PROF_EXTRA_CONF", "{}")),
         },
     ), evdir
 

@@ -697,7 +697,15 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed build lineage (S14/S15 analogs): deterministic
-    columns of _checkpoints after a full tiny build."""
+    columns of _checkpoints after a full tiny build.
+
+    The driver's rows-only check is backed by invariants ASSERTED here
+    (VERDICT r3 #9) — the query itself raises if the lineage counters
+    do not reconcile with the physical index:
+      * sum(postings_emitted) over range batches == decoded postings rows
+      * terms_finalized on the finalize row == termdict row count
+      * turns on the documents row == doc-store row count
+    """
     import tempfile
 
     from .config import EngineConfig, IndexConfig
@@ -711,29 +719,81 @@ def q_index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr = synth_transcripts(spark, n_convs=20, seed=5, with_anomalies=True)
         _IDX_CACHE[key] = build_index(spark, tr, path, cfg, ranges_per_batch=2)
     idx = _IDX_CACHE[key]
-    return idx.checkpoints.select(
+    cp = idx.checkpoints
+    # every range row of one batch shares the batch's observation, so
+    # sum one row per (batch start, value) group, not per range row
+    batch_rows = cp.filter(F.col("stage") == "range_batch").groupBy(
+        "postings_emitted", "started_ts"
+    ).count().collect()
+    emitted = sum(int(r["postings_emitted"]) for r in batch_rows)
+    decoded = idx.postings().count()
+    if emitted != decoded:
+        raise AssertionError(
+            f"lineage mismatch: postings_emitted {emitted} != decoded postings {decoded}"
+        )
+    fin = cp.filter(F.col("stage") == "finalize").agg(F.max("terms_finalized")).collect()[0][0]
+    n_terms = idx.termdict.count()
+    if int(fin) != int(n_terms):
+        raise AssertionError(
+            f"lineage mismatch: terms_finalized {fin} != termdict rows {n_terms}"
+        )
+    doc_turns = cp.filter(F.col("stage") == "documents").agg(F.max("turns")).collect()[0][0]
+    n_docs = idx.documents.count()
+    if int(doc_turns) != int(n_docs):
+        raise AssertionError(
+            f"lineage mismatch: documents turns {doc_turns} != doc store rows {n_docs}"
+        )
+    return cp.select(
         "stage", "partition_id", "status", "turns", "postings_emitted", "terms_finalized"
     )
 
 
 def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming incremental build -> decoded postings
-    (equality with the batch build is asserted in tests/)."""
+    """Structured Streaming incremental build over the ``documents``
+    table -> decoded postings. Oracle: SQL_POSTINGS_TF — the streamed
+    index must decode to EXACTLY the relational postings of the corpus
+    (VERDICT r3 #3: this was rows-only for no structural reason).
+
+    The table is delivered as two micro-batch files split at a
+    docs_per_range multiple, with conv_id = zero-padded doc_id: the
+    stream's dense-rank id assignment plus the fresh-range-boundary
+    offset then reproduces the original doc_ids, so the DuckDB twin
+    joins on the same ids without any remapping."""
+    import glob
+    import os
     import tempfile
 
     from .config import EngineConfig, IndexConfig
-    from .sources.transcripts import synth_transcripts
     from .streaming.stream_build import incremental_index_build
     from .index_store import InvertedIndex
 
-    key = "stream"
+    key = ("stream", sf_dir)
     if key not in _IDX_CACHE:
-        cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=512, term_buckets=8))
+        dpr = 250
+        cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=dpr, term_buckets=8))
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        split = max(dpr, (n // 2 // dpr) * dpr)  # largest dpr multiple <= n/2
+        tr = docs.select(
+            F.col("doc_id"),
+            F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
         in_dir = tempfile.mkdtemp(prefix="engine-contract-simp-")
         idx_dir = tempfile.mkdtemp(prefix="engine-contract-sidx-")
         cp_dir = tempfile.mkdtemp(prefix="engine-contract-scp-")
-        tr = synth_transcripts(spark, n_convs=12, seed=9, with_anomalies=False)
-        tr.coalesce(2).write.mode("overwrite").parquet(in_dir)
+        for bi, part in enumerate(
+            (tr.filter(F.col("doc_id") < split), tr.filter(F.col("doc_id") >= split))
+        ):
+            sub = os.path.join(in_dir, f"_b{bi}")
+            part.drop("doc_id").coalesce(1).write.mode("overwrite").parquet(sub)
+            src = sorted(glob.glob(os.path.join(sub, "part-*.parquet")))[0]
+            # delivery order = (mod time, name): both increase with bi
+            os.rename(src, os.path.join(in_dir, f"{bi:04d}.parquet"))
         incremental_index_build(spark, in_dir, idx_dir, cp_dir, cfg, available_now=True)
         _IDX_CACHE[key] = InvertedIndex(spark, idx_dir, cfg)
     return _IDX_CACHE[key].postings().select("term", "doc_id", "tf")
@@ -1347,10 +1407,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_badrow_transform": q_badrow_transform,
     "q_limit_error_count": q_limit_error_count,
     "q_payload_decompress": q_payload_decompress,
+    "q_streaming_postings": q_streaming_postings,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
-    "q_streaming_postings": q_streaming_postings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1389,4 +1449,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_badrow_transform": SQL_BADROW_TRANSFORM,
     "q_limit_error_count": SQL_LIMIT_ERROR_COUNT,
     "q_payload_decompress": SQL_PAYLOAD_DECOMPRESS,
+    # the streamed index must decode to exactly the corpus's relational
+    # postings — same twin as q_postings_blocks_decode (M2 invariant
+    # carried through the streaming path)
+    "q_streaming_postings": SQL_POSTINGS_TF,
 }

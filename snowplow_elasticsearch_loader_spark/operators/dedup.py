@@ -64,19 +64,35 @@ def minhash_signatures(
 
 
 def _jaccard_for_pairs(pairs: DataFrame, tok: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for (doc_a, doc_b) candidate pairs."""
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    """Exact token-set Jaccard for (doc_a, doc_b) candidate pairs.
+
+    Each doc's term SET is aggregated once (collect_set) and joined to
+    its pairs; the intersection is a JVM array_intersect per pair. This
+    replaces the r3 shape (explode tokens onto pairs, then a groupBy
+    over pair keys) — same data movement through the two joins, but no
+    third aggregation shuffle afterwards (VERDICT r3 #5)."""
+    sets = tok.groupBy("doc_id").agg(
+        F.collect_set("term").alias("_terms"), F.count(F.lit(1)).alias("_n")
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        pairs.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_terms").alias("_ta"),
+                F.col("_n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_terms").alias("_tb"),
+                F.col("_n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+        .filter(F.col("inter") > 0)
         .select(
             "doc_a",
             "doc_b",
@@ -233,7 +249,25 @@ def connected_components(
     the driver loop is over ROUNDS, never rows. Raises RuntimeError if
     the edge set is still changing after ``max_iterations`` rounds —
     never returns silently-unconverged labels.
+
+    Convergence detection costs ONE aggregate action per round (count +
+    order-independent xxhash64 sum as a set fingerprint); the exact
+    ``exceptAll`` set-compare — a full extra shuffle on a billion-edge
+    graph — runs only when the fingerprint says the set stopped
+    changing, i.e. once per call (VERDICT r3 #6). A fingerprint
+    collision merely defers convergence one round; it can never return
+    wrong labels, because the exact compare still gates the exit.
     """
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (edges are distinct, so xor-cancellation needs a hash collision)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
     nodes = (
         pairs.select(F.col(a_col).alias("id"))
         .union(pairs.select(F.col(b_col).alias("id")))
@@ -247,8 +281,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_count = edges.count()
-    converged = prev_count == 0
+    prev_sig = _sig(edges)
+    converged = prev_sig[0] == 0
     for _ in range(max_iterations):
         if converged:
             break
@@ -274,9 +308,9 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)  # cut lineage growth per round
         )
-        new_count = ss.count()
-        converged = new_count == prev_count and ss.exceptAll(edges).isEmpty()
-        edges, prev_count = ss, new_count
+        sig = _sig(ss)
+        converged = sig == prev_sig and ss.exceptAll(edges).isEmpty()
+        edges, prev_sig = ss, sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "

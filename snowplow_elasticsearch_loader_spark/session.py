@@ -38,18 +38,34 @@ _WORKER_ALLOC_ENV = {
 
 
 def apply_malloc_tuning() -> None:
-    """Tune THIS process's glibc via mallopt(3): keep <=64 MB arrays on
-    the arena (not per-call mmap/munmap) and never trim freed space
-    back to the OS — re-faulting it cost 13 s/call kernel-time spikes
-    under this sandbox's free-page-reporting kernel. Process-local:
-    children created with exec (the JVM) are unaffected."""
+    """Tune THIS process's glibc via mallopt(3): never trim freed space
+    back to the OS, and never allocate through mmap at all
+    (M_MMAP_MAX=0) — freed space then stays faulted-in on the brk heap
+    and is reused by the next pandas-UDF group with ZERO page faults.
+
+    Why the threshold alone was not enough (r04 root-cause): with only
+    M_MMAP_THRESHOLD raised, one early mmap landing above the program
+    break makes every later brk extension fail, silently flipping ALL
+    large allocations to mmap/munmap cycles; each munmap returns pages
+    to this guest's free-page-reporting kernel and the next group
+    re-faults them at ~0.4 ms/fault under 8-way concurrency — measured
+    298 s of pure kernel time in the block-emit phase per 44-group run
+    (scripts/mp_blocks2.py), 0.0 s with mmap disabled. Worker RSS then
+    plateaus at its peak working set, which the SPIMI range cap bounds
+    by construction.
+
+    Process-local: children created with exec (the JVM) are unaffected.
+    Set SPARK_GRAFT_MALLOC_MMAP_MAX to restore a nonzero mmap budget
+    (e.g. on memory-constrained executors where RSS give-back matters
+    more than fault latency)."""
     import ctypes
 
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
         libc.mallopt(M_MMAP_THRESHOLD, 67108864)
         libc.mallopt(M_TRIM_THRESHOLD, 2147483647)
+        libc.mallopt(M_MMAP_MAX, int(os.environ.get("SPARK_GRAFT_MALLOC_MMAP_MAX", "0")))
     except Exception:
         pass
 

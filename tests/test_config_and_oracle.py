@@ -283,3 +283,45 @@ def test_connected_components_raises_on_nonconvergence(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=1)
+
+
+def test_iceberg_branch_builds_correct_reader(monkeypatch):
+    """VERDICT r3 #8: the fmt='iceberg' branch is the one-line cluster
+    switch (no runtime jar in this sandbox) — assert the reader options
+    it constructs so the branch can't rot: format('iceberg'), optional
+    snapshot pinning via 'snapshot-id', load(<dir>/<table>)."""
+    from snowplow_elasticsearch_loader_spark.sources import tables as TBL
+
+    calls = {}
+
+    class FakeReader:
+        def format(self, f):
+            calls["format"] = f
+            return self
+
+        def option(self, k, v):
+            calls.setdefault("options", {})[k] = v
+            return self
+
+        def load(self, path):
+            calls["load"] = path
+            return "DF"
+
+    class FakeSpark:
+        @property
+        def read(self):
+            return FakeReader()
+
+    monkeypatch.setattr(TBL, "ensure_shipped", lambda s: None, raising=False)
+    import snowplow_elasticsearch_loader_spark.shipping as SHIP
+
+    monkeypatch.setattr(SHIP, "ensure_shipped", lambda s: None)
+    out = TBL.load_table(FakeSpark(), "/data/sf1", "lineitem", fmt="iceberg", snapshot_id=77)
+    assert out == "DF"
+    assert calls["format"] == "iceberg"
+    assert calls["options"] == {"snapshot-id": "77"}
+    assert calls["load"] == "/data/sf1/lineitem"
+    calls.clear()
+    TBL.load_table(FakeSpark(), "/data/sf1", "events", fmt="iceberg")
+    assert calls["format"] == "iceberg" and "options" not in calls
+    assert calls["load"] == "/data/sf1/events"
