@@ -21,6 +21,8 @@ bootstrap); this is Spark-deployment plumbing, enabled via
 
 from __future__ import annotations
 
+import os
+
 for _mod in (
     "numpy",
     "pandas",
@@ -59,61 +61,27 @@ from .session import apply_malloc_tuning as _amt
 _amt()
 
 
-def _prefault_arena() -> None:
-    """Fault the worker's glibc heap in ONE sequential pass.
+# NOTE (r04): the arena prefault used to run HERE, on every fork. But
+# Spark forks ephemeral helper workers per task/connection besides the
+# reused task workers (measured: 52 forks for 8 working pids in one
+# bench child), so fork-time prefaulting memset 26 GB per child for
+# nothing — serialized fault-path cost in degraded host windows. The
+# prefault is now LAZY: session.ensure_worker_arena() runs once per
+# worker process at its first real pandas-UDF group
+# (operators/index_build.py builders), so only workers that do real
+# work pay it, exactly when their allocations need the pages.
+if os.environ.get("SPARK_GRAFT_PREFAULT_LOG"):
+    _orig_worker_main = _pyspark_daemon.worker_main
 
-    Without this, the first pandas-UDF group grows the heap
-    incrementally (thousands of brk/fault cycles) which costs 25-40 s
-    of pure kernel time per worker on this sandbox kernel at 8-way
-    concurrency — measured: first SPIMI group 28 s cold vs 0.9 s after
-    a 0.4 s prefault. One big malloc+memset+free warms the same pages
-    at sequential-zeroing speed; MALLOC_TRIM_THRESHOLD_ (set by
-    session._WORKER_ALLOC_ENV) keeps them in the arena for reuse.
-    Chunks stay under MALLOC_MMAP_THRESHOLD_ so they extend the sbrk
-    heap rather than being mmap'd and returned on free."""
-    import ctypes
-    import os
-
-    mb = int(os.environ.get("SPARK_GRAFT_WORKER_PREFAULT_MB", "512"))
-    if mb <= 0:
-        return
-    import time as _t
-
-    _t0 = _t.time()
-    try:
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.malloc.restype = ctypes.c_void_p
-        libc.malloc.argtypes = [ctypes.c_size_t]
-        libc.free.argtypes = [ctypes.c_void_p]
-        chunk = 32 * 1024 * 1024
-        ptrs = []
-        for _ in range(max(1, (mb * 1024 * 1024) // chunk)):
-            p = libc.malloc(chunk)
-            if not p:
-                break
-            ctypes.memset(p, 0, chunk)
-            ptrs.append(p)
-        for p in ptrs:
-            libc.free(p)
-    except Exception:
-        pass
-    if os.environ.get("SPARK_GRAFT_PREFAULT_LOG"):
+    def _worker_main(*args, **kwargs):  # fork diagnostics only
         try:
             with open(os.environ["SPARK_GRAFT_PREFAULT_LOG"], "a") as fh:
-                fh.write(f"{os.getpid()} {_t.time() - _t0:.2f}\n")
+                fh.write(f"{os.getpid()} fork\n")
         except Exception:
             pass
+        return _orig_worker_main(*args, **kwargs)
 
-
-_orig_worker_main = _pyspark_daemon.worker_main
-
-
-def _worker_main(*args, **kwargs):  # runs in the FORKED worker child
-    _prefault_arena()
-    return _orig_worker_main(*args, **kwargs)
-
-
-_pyspark_daemon.worker_main = _worker_main
+    _pyspark_daemon.worker_main = _worker_main
 
 if __name__ == "__main__":
     _pyspark_daemon.manager()

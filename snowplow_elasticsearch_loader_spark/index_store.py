@@ -307,9 +307,12 @@ def build_blocks_only(
     n_docs = int(obs.get["n_docs"])
     avgdl = float(obs.get["sum_dl"]) / float(n_docs) if n_docs else 0.0
     _write_corpus(spark, path, n_docs, avgdl)
-    index_build.build_blocks_df(idx.documents, avgdl, cfg).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket", "range_id").parquet(os.path.join(path, "blocks"))
+    index_build.build_blocks_df(
+        idx.documents, avgdl, cfg,
+        num_ranges=(max(n_docs - 1, 0) // cfg.index.docs_per_range) + 1,
+    ).write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
+        os.path.join(path, "blocks")
+    )
     index_build.termdict_from_blocks(idx.blocks).write.mode("overwrite").parquet(
         os.path.join(path, "termdict")
     )
@@ -523,7 +526,9 @@ def build_index(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         )
         obs = Observation(f"blocks_{bi}")
-        blocks = index_build.build_blocks_df(docs_batch, avgdl, cfg).observe(
+        blocks = index_build.build_blocks_df(
+            docs_batch, avgdl, cfg, num_ranges=len(batch)
+        ).observe(
             obs,
             F.coalesce(F.sum("doc_count"), F.lit(0)).alias("postings"),
             F.coalesce(

@@ -221,11 +221,11 @@ def process_stream_batch(
         # doc id, so their (term_bucket, range_id) partitions are
         # collision-free with compacted ones under the same
         # docs_per_range (streaming and compaction must share cfg).
-        index_build.build_blocks_df(docs_w, avgdl, cfg).write.mode(
-            "overwrite"
-        ).options(**dyn).partitionBy("term_bucket", "range_id").parquet(
-            resolve_table_dir(index_dir, "blocks")
-        )
+        index_build.build_blocks_df(
+            docs_w, avgdl, cfg, num_ranges=(n_batch + dpr - 1) // dpr
+        ).write.mode("overwrite").options(**dyn).partitionBy(
+            "term_bucket", "range_id"
+        ).parquet(resolve_table_dir(index_dir, "blocks"))
     _write_state(
         index_dir,
         {
