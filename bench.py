@@ -290,28 +290,44 @@ def bm25_latency(index_dir: str) -> dict:
 def main() -> None:
     t_all = time.time()
     results: dict = {"queries": {}}
+    #: section toggles for partial re-runs (e.g. re-measuring ONLY the
+    #: scaling section once the host exits a degraded window); a partial
+    #: run merges over the previous BENCH/result.json so the published
+    #: artifact stays complete.
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+    skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
+    skip_latency = os.environ.get("BENCH_SKIP_LATENCY") == "1"
+    prev: dict = {}
+    prev_path = os.path.join(REPO, "BENCH", "result.json")
+    if (skip_queries or skip_scaling or skip_latency) and os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            prev = json.load(fh)
 
     # ---- 1. headline operator queries at SF dir ----
     from snowplow_elasticsearch_loader_spark import contract
 
-    spark = get_spark(f"local[{CPUS}]", app_name="bench-queries")
-    spark.sparkContext.setLogLevel("ERROR")
-    # index-backed queries are QUERIES over a persisted index, not
-    # index builds: materialize the physical index once, outside the
-    # timed region (the build is what section 2 times; r01 polluted
-    # q_bm25_topk_wand with it and made the fast path look 2.2x slow)
-    log("pre-building physical index (untimed) ...")
-    contract._physical_index(spark, SF_DIR)
     total = 0.0
-    for name in HEADLINE:
-        fn = contract.SPARK_QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        results["queries"][name] = round(dt, 3)
-        total += dt
-        log(f"query {name}: {dt:.2f}s")
-    spark.stop()
+    if not skip_queries:
+        spark = get_spark(f"local[{CPUS}]", app_name="bench-queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        # index-backed queries are QUERIES over a persisted index, not
+        # index builds: materialize the physical index once, outside the
+        # timed region (the build is what section 2 times; r01 polluted
+        # q_bm25_topk_wand with it and made the fast path look 2.2x slow)
+        log("pre-building physical index (untimed) ...")
+        contract._physical_index(spark, SF_DIR)
+        for name in HEADLINE:
+            fn = contract.SPARK_QUERIES[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results["queries"][name] = round(dt, 3)
+            total += dt
+            log(f"query {name}: {dt:.2f}s")
+        spark.stop()
+    else:
+        results["queries"] = prev.get("queries", {})
+        total = float(prev.get("value", 0.0))
 
     # ---- 2. index-build scaling (N vs 4N cores, pinned) ----
     # Protocol (the sandbox substitution for N vs 4N executors):
@@ -323,6 +339,10 @@ def main() -> None:
     #   bursts swing identical runs up to 3x);
     # - a pure-compute control job (same input/tokenizer, one shuffle,
     #   no writes) measures the host's achievable ceiling.
+    if skip_scaling:
+        results["build"] = prev.get("build", {})
+        _finish(results, total, t_all, prev, skip_latency)
+        return
     corpus = corpus_path()
     warm_corpus = corpus_path(WARM_CONVS)
     small, big = f"local[{N_SMALL}]", f"local[{N_BIG}]"
@@ -427,11 +447,18 @@ def main() -> None:
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
         f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
+    _finish(results, total, t_all, prev, skip_latency)
+
+
+def _finish(results, total, t_all, prev, skip_latency):
     # ---- 3. BM25 query latency over a fixed-size index ----
-    _, _, lat_dir, _ = timed_build(f"local[{CPUS}]", corpus_path(LATENCY_CONVS))
-    results["bm25_latency_ms"] = bm25_latency(lat_dir)
-    log(f"bm25 latency: {results['bm25_latency_ms']}")
-    shutil.rmtree(lat_dir, ignore_errors=True)
+    if not skip_latency:
+        _, _, lat_dir, _ = timed_build(f"local[{CPUS}]", corpus_path(LATENCY_CONVS))
+        results["bm25_latency_ms"] = bm25_latency(lat_dir)
+        log(f"bm25 latency: {results['bm25_latency_ms']}")
+        shutil.rmtree(lat_dir, ignore_errors=True)
+    else:
+        results["bm25_latency_ms"] = prev.get("bm25_latency_ms", {})
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
