@@ -114,3 +114,18 @@ def test_footer_cuts_join_detection_is_node_based(spark, tmp_path):
     other = spark.range(5).selectExpr("concat('conv-', lpad(cast(id as string), 8, '0')) as conv_id")
     joined = scan.join(other, "conv_id", "left_anti")
     assert _footer_cuts(joined, 4) is None
+
+
+def test_blocks_build_single_exchange_at_range_granularity(spark, tmp_path):
+    """The block build's explicit one-task-per-range repartition must be
+    reused by the groupBy (ONE Exchange total — the doc-store shuffle)
+    and must not be coalesced away by AQE."""
+    from snowplow_elasticsearch_loader_spark.operators import index_build
+
+    df = spark.range(2000).selectExpr("id as doc_id", "concat('text ', id) as text")
+    plan = index_build.build_blocks_df(df, 50.0, num_ranges=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # partitioning is the user-specified one (REPARTITION_BY_COL hint
+    # compiles to a shuffle whose partitioning AQE must preserve)
+    assert "FlatMapGroupsInPandas" in plan
