@@ -106,7 +106,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
 
 
-def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False) -> str:
+def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False, doc_filter: str | None = None) -> str:
     k1, b = CFG.bm25.k1, CFG.bm25.b
     # SmallFloat-style 4-bit-mantissa doclen quantization — identical
     # integer shifts to the engine (bm25.quantize_doclen_col)
@@ -115,6 +115,11 @@ def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False) -> str:
         " << greatest(length(bin(d.doclen)) - 4, 0))"
         if quantize
         else "d.doclen"
+    )
+    flt = (
+        f"WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
+        if doc_filter
+        else ""
     )
     return f"""
 WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
@@ -136,6 +141,7 @@ contribs AS (
   JOIN tstats t USING (term)
   JOIN dstats d ON p.doc_id = d.doc_id
   CROSS JOIN corpus c
+  {flt}
 ),
 scored AS (
   SELECT query_id, doc_id, round(sum(contrib), 6) AS score
@@ -152,6 +158,53 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 
 SQL_BM25_TOPK = _sql_bm25()
 SQL_BM25_TOPK_QUANTIZED = _sql_bm25(quantize=True)
+
+#: structured-filter predicate for the filtered-relevance query (half
+#: the synthetic sources — a selective but non-trivial filter)
+_FILTER_SOURCES = [f"src{i}" for i in range(10)]
+_FILTER_SQL = "source IN (" + ", ".join(f"'{x}'" for x in _FILTER_SOURCES) + ")"
+SQL_BM25_FILTERED_TOPK = _sql_bm25(doc_filter=_FILTER_SQL)
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query parity: full-text relevance + a structured FILTER
+    clause (the delegated surface users combine constantly:
+    ``{"bool": {"must": {"match": ...}, "filter": {"terms": ...}}}``).
+    ES semantics preserved exactly: the filter restricts CANDIDATES
+    only, while scoring uses INDEX-WIDE statistics (N, avgdl, df) — a
+    filter-context clause never changes relevance weights. The filter
+    id-set joins the postings as a broadcast semi-join here; at scale
+    the same predicate pushes into the doc-store scan (partition/zone
+    pruning) before postings are even built."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    allowed = docs.filter(F.col("source").isin(_FILTER_SOURCES)).select("doc_id")
+    posts_f = posts.join(F.broadcast(allowed), "doc_id", "left_semi")
+    return bm25.bm25_topk_naive(
+        posts_f, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG,
+    )
+
+
+def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fetch phase parity (``hits.hits._source``,
+    it/TestHelpers.scala:157-201): the query phase returns ranked doc
+    ids; the fetch phase joins them back to the stored document. The
+    k*|queries| hit set is broadcast against the doc store — the only
+    sane join direction at corpus scale."""
+    hits = q_bm25_topk(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    return docs.join(F.broadcast(hits), "doc_id").select(
+        "query_id", "rank", "doc_id", "score", "text", "lang", "source"
+    )
+
+
+SQL_SEARCH_FETCH = f"""
+SELECT r.query_id, r.rank, r.doc_id, r.score, d.text, d.lang, d.source
+FROM ({_sql_bm25()}) r JOIN documents d ON r.doc_id = d.doc_id
+"""
+
 
 
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,6 +1461,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_limit_error_count": q_limit_error_count,
     "q_payload_decompress": q_payload_decompress,
     "q_streaming_postings": q_streaming_postings,
+    "q_bm25_filtered_topk": q_bm25_filtered_topk,
+    "q_search_fetch": q_search_fetch,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1453,4 +1508,6 @@ ORACLE_SQL: dict[str, str] = {
     # postings — same twin as q_postings_blocks_decode (M2 invariant
     # carried through the streaming path)
     "q_streaming_postings": SQL_POSTINGS_TF,
+    "q_bm25_filtered_topk": SQL_BM25_FILTERED_TOPK,
+    "q_search_fetch": SQL_SEARCH_FETCH,
 }
