@@ -206,6 +206,44 @@ FROM ({_sql_bm25()}) r JOIN documents d ON r.doc_id = d.doc_id
 """
 
 
+def q_highlight_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight parity from the POSITIONAL index: for each top-k
+    hit, the first token position of every query term it contains —
+    the data a snippet renderer needs, answered from the index's
+    per-posting position stream (pos_varint) without re-tokenizing any
+    document. The oracle recomputes positions relationally
+    (list_position over the analyzed token array)."""
+    from .operators.bm25 import analyze_queries
+
+    idx = _physical_index(spark, sf_dir)
+    hits = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
+    qt = sorted({(qid, t) for qid, t, _ in analyze_queries(REFERENCE_QUERIES)})
+    qterms = spark.createDataFrame(qt, "query_id string, term string")
+    posts = idx.postings().select(
+        "term", "doc_id", F.element_at("positions", 1).alias("first_pos")
+    )
+    return (
+        hits.join(F.broadcast(qterms), "query_id")
+        .join(posts, ["term", "doc_id"])
+        .select("query_id", "doc_id", "term", F.col("first_pos").cast("long").alias("first_pos"))
+    )
+
+
+SQL_HIGHLIGHT_POSITIONS = f"""
+WITH hits AS ({_sql_bm25()}),
+qraw AS (SELECT * FROM {{QV}}),
+qtoks AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+)
+SELECT h.query_id, h.doc_id, q.term,
+       CAST(list_position({duckdb_tokens_expr('d.text')}, q.term) - 1 AS BIGINT) AS first_pos
+FROM hits h
+JOIN qtoks q USING (query_id)
+JOIN documents d ON h.doc_id = d.doc_id
+WHERE list_position({duckdb_tokens_expr('d.text')}, q.term) > 0
+"""
+
+
 
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with Lucene SmallFloat-style quantized doclen norms
@@ -1463,6 +1501,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_postings": q_streaming_postings,
     "q_bm25_filtered_topk": q_bm25_filtered_topk,
     "q_search_fetch": q_search_fetch,
+    "q_highlight_positions": q_highlight_positions,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1510,4 +1549,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_streaming_postings": SQL_POSTINGS_TF,
     "q_bm25_filtered_topk": SQL_BM25_FILTERED_TOPK,
     "q_search_fetch": SQL_SEARCH_FETCH,
+    "q_highlight_positions": SQL_HIGHLIGHT_POSITIONS.replace("{QV}", queries_sql_values()),
 }
