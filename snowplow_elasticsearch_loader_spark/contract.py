@@ -206,6 +206,24 @@ FROM ({_sql_bm25()}) r JOIN documents d ON r.doc_id = d.doc_id
 """
 
 
+def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-pagination parity (ES ``from``/``search_after``): ranks
+    11..20 of the same ranking. Same total order (score desc, doc_id
+    asc tiebreak — the stable sort key search_after requires), offset
+    applied after ranking."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    full = bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=2 * DEFAULT_K, cfg=CFG)
+    return full.filter(F.col("rank") > DEFAULT_K)
+
+
+SQL_BM25_TOPK_PAGE2 = (
+    "SELECT * FROM (" + _sql_bm25(k=2 * DEFAULT_K) + f") WHERE rank > {DEFAULT_K}"
+)
+
+
 def q_highlight_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES highlight parity from the POSITIONAL index: for each top-k
     hit, the first token position of every query term it contains —
@@ -1502,6 +1520,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_filtered_topk": q_bm25_filtered_topk,
     "q_search_fetch": q_search_fetch,
     "q_highlight_positions": q_highlight_positions,
+    "q_bm25_topk_page2": q_bm25_topk_page2,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1550,4 +1569,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_bm25_filtered_topk": SQL_BM25_FILTERED_TOPK,
     "q_search_fetch": SQL_SEARCH_FETCH,
     "q_highlight_positions": SQL_HIGHLIGHT_POSITIONS.replace("{QV}", queries_sql_values()),
+    "q_bm25_topk_page2": SQL_BM25_TOPK_PAGE2,
 }
