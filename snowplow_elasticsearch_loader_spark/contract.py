@@ -106,7 +106,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
 
 
-def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False, doc_filter: str | None = None) -> str:
+def _sql_bm25_scored_cte(quantize: bool = False, doc_filter: str | None = None) -> str:
+    """The shared ``WITH ... scored AS (query_id, doc_id, score)`` CTE
+    prefix of every ranking oracle (top-k, pagination, collapsing)."""
     k1, b = CFG.bm25.k1, CFG.bm25.b
     # SmallFloat-style 4-bit-mantissa doclen quantization — identical
     # integer shifts to the engine (bm25.quantize_doclen_col)
@@ -146,7 +148,12 @@ contribs AS (
 scored AS (
   SELECT query_id, doc_id, round(sum(contrib), 6) AS score
   FROM contribs GROUP BY query_id, doc_id
-),
+)"""
+
+
+def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False, doc_filter: str | None = None) -> str:
+    return f"""
+{_sql_bm25_scored_cte(quantize=quantize, doc_filter=doc_filter)},
 ranked AS (
   SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
@@ -261,6 +268,276 @@ JOIN documents d ON h.doc_id = d.doc_id
 WHERE list_position({duckdb_tokens_expr('d.text')}, q.term) > 0
 """
 
+
+
+#: terms-aggregation size (ES ``aggs.terms.size`` default is 10; 20
+#: exercises the tie-break on this corpus's small vocabulary)
+_TERMS_AGG_SIZE = 20
+
+
+def q_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation parity (``aggs: {terms: {field, size}}``):
+    the top-N index terms by document frequency, answered FROM THE
+    PERSISTED TERM DICTIONARY — no corpus re-tokenization, exactly how
+    ES serves a terms agg from its per-segment terms dict. Order: df
+    desc, term asc (ES's deterministic tie-break). The top-N select is
+    an orderBy+limit, which Spark executes as TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort shuffle at
+    corpus scale); the rank column is then a window over N=20 rows."""
+    idx = _physical_index(spark, sf_dir)
+    top = (
+        idx.termdict.select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_TERMS_AGG_SIZE)
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SQL_TERMS_AGG = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+ranked AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+  FROM tstats
+)
+SELECT term, df, rank FROM ranked WHERE rank <= {_TERMS_AGG_SIZE}
+"""
+
+
+#: prefix queries for q_prefix_topk (ES ``prefix`` query); multi-char
+#: prefixes exercise real dictionary-range expansion, not first-letter
+#: bucketing
+_PREFIXES = ["s", "ba", "c"]
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix-query parity with the constant-score multi-term
+    rewrite: each index term matching the prefix contributes 1.0 per
+    doc that contains it, so a doc's score is the COUNT OF DISTINCT
+    MATCHING TERMS it contains; top-10 per prefix, ties doc_id asc.
+    The expansion is a per-prefix ``startsWith`` FILTER on the term
+    dictionary (a pushed-down StartsWith range predicate — the
+    dictionary-seek ES does), unioned across prefixes and broadcast
+    into the postings join; no non-equi join anywhere."""
+    idx = _physical_index(spark, sf_dir)
+    td = idx.termdict
+    exp = None
+    for p in _PREFIXES:
+        e = td.filter(F.col("term").startswith(p)).select(
+            F.lit(p).alias("prefix"), "term"
+        )
+        exp = e if exp is None else exp.union(e)
+    posts = idx.postings().select("term", "doc_id")
+    scored = (
+        posts.join(F.broadcast(exp), "term")
+        .groupBy("prefix", "doc_id")
+        .agg(F.countDistinct("term").alias("score"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("prefix", "rank", "doc_id", F.col("score").cast("long").alias("score"))
+    )
+
+
+SQL_PREFIX_TOPK = f"""
+WITH {_DUCK_TOKS},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+pfx(prefix) AS (VALUES {", ".join(f"('{p}')" for p in _PREFIXES)}),
+matches AS (
+  SELECT p.prefix, t.doc_id, CAST(count(DISTINCT t.term) AS BIGINT) AS score
+  FROM dterms t JOIN pfx p ON t.term LIKE p.prefix || '%'
+  GROUP BY p.prefix, t.doc_id
+),
+ranked AS (
+  SELECT prefix, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY prefix ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM matches
+)
+SELECT prefix, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_bm25_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field-collapsing parity (``collapse: {field: source}``): the
+    per-query top-10 over the BEST-SCORING DOC OF EACH source GROUP —
+    one hit per group, ranked by that representative's full BM25
+    score. Collapsing needs every matching doc's score (the group
+    maximum can rank anywhere), so this scores the full candidate set
+    (query-term-pushed postings — candidates only, never the corpus)
+    and takes the group best with a (query, source) window before the
+    global per-query rank. Scores are quantized to 6 places BEFORE
+    both windows so engine and oracle break ties identically."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    posts_q = posts.filter(F.col("term").isin(qterm_list))
+    scored = bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+    scored = scored.join(docs.select("doc_id", "source"), "doc_id")
+    wg = Window.partitionBy("query_id", "source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = scored.withColumn("_gr", F.row_number().over(wg)).filter(F.col("_gr") == 1)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "source", "doc_id", "score")
+    )
+
+
+SQL_BM25_COLLAPSE_TOPK = f"""
+{_sql_bm25_scored_cte()},
+grouped AS (
+  SELECT s.query_id, d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.source ORDER BY s.score DESC, s.doc_id ASC) AS gr
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, source, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM grouped WHERE gr = 1
+)
+SELECT query_id, rank, source, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_lang_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES facet / bucket-aggregation parity (``aggs`` alongside a
+    query): for each reference query, the count of ALL matching docs
+    (OR semantics — >=1 query term) bucketed by ``lang``. Matching doc
+    ids come from the persisted index's postings (term-pushed scan of
+    only the query terms' blocks); the keyword field arrives by
+    joining the doc store — ES's doc-values read."""
+    from .operators.bm25 import analyze_queries
+
+    idx = _physical_index(spark, sf_dir)
+    qt = sorted({(qid, t) for qid, t, _ in analyze_queries(REFERENCE_QUERIES)})
+    qterms = literal_df(
+        spark, qt, "query_id string, term string"
+    )
+    hits = (
+        idx.postings()
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy("query_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LANG_FACET = f"""
+WITH {_DUCK_TOKS},
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+hits AS (SELECT DISTINCT q.query_id, t.doc_id FROM qtoks q JOIN toks t USING (term))
+SELECT h.query_id, d.lang, count(*) AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY h.query_id, d.lang
+"""
+
+
+#: significant-terms minimum foreground df (ES ``min_doc_count``)
+_SIG_MIN_FG_DF = 3
+
+
+def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant-terms-aggregation parity: for each query's
+    matching-doc set (foreground), the top-10 terms whose foreground
+    relative frequency most exceeds their corpus (background) relative
+    frequency — score = (fg_df/fg_n)/(df/n_docs), min_doc_count on
+    fg_df, ties term asc. All four inputs are aggregations the engine
+    already owns (postings, term stats, corpus stats); the foreground
+    join fans postings out by hit doc, which at corpus scale is
+    bounded by the hit-set size, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ts = P.term_stats(posts)
+    n_docs = P.doc_stats(docs).count()
+    from .operators.bm25 import analyze_queries
+
+    qt = sorted({(qid, t) for qid, t, _ in analyze_queries(REFERENCE_QUERIES)})
+    qterms = literal_df(spark, qt, "query_id string, term string")
+    hits = (
+        posts.join(F.broadcast(qterms), "term").select("query_id", "doc_id").distinct()
+    )
+    fgn = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("fg_n"))
+    fg = (
+        posts.join(hits, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.countDistinct("doc_id").alias("fg_df"))
+        .filter(F.col("fg_df") >= _SIG_MIN_FG_DF)
+    )
+    scored = (
+        fg.join(F.broadcast(fgn), "query_id")
+        .join(ts, "term")
+        .select(
+            "query_id",
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.round(
+                (F.col("fg_df") * F.lit(float(n_docs)))
+                / (F.col("fg_n") * F.col("df")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "term", "fg_df", "lift")
+    )
+
+
+SQL_SIG_TERMS = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+corpus AS (SELECT count(*) AS n_docs FROM dstats),
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+hits AS (SELECT DISTINCT q.query_id, p.doc_id FROM qtoks q JOIN postings p USING (term)),
+fgn AS (SELECT query_id, count(*) AS fg_n FROM hits GROUP BY query_id),
+fg AS (
+  SELECT h.query_id, p.term, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS fg_df
+  FROM hits h JOIN postings p USING (doc_id)
+  GROUP BY h.query_id, p.term
+  HAVING count(DISTINCT p.doc_id) >= {_SIG_MIN_FG_DF}
+),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df,
+         round((f.fg_df * CAST(c.n_docs AS DOUBLE)) / (n.fg_n * t.df), 6) AS lift
+  FROM fg f
+  JOIN fgn n USING (query_id)
+  JOIN tstats t USING (term)
+  CROSS JOIN corpus c
+),
+ranked AS (
+  SELECT query_id, term, fg_df, lift,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY lift DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, term, fg_df, lift FROM ranked WHERE rank <= {DEFAULT_K}
+"""
 
 
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1521,6 +1798,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_search_fetch": q_search_fetch,
     "q_highlight_positions": q_highlight_positions,
     "q_bm25_topk_page2": q_bm25_topk_page2,
+    "q_terms_agg": q_terms_agg,
+    "q_prefix_topk": q_prefix_topk,
+    "q_bm25_collapse_topk": q_bm25_collapse_topk,
+    "q_lang_facet": q_lang_facet,
+    "q_sig_terms": q_sig_terms,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1570,4 +1852,9 @@ ORACLE_SQL: dict[str, str] = {
     "q_search_fetch": SQL_SEARCH_FETCH,
     "q_highlight_positions": SQL_HIGHLIGHT_POSITIONS.replace("{QV}", queries_sql_values()),
     "q_bm25_topk_page2": SQL_BM25_TOPK_PAGE2,
+    "q_terms_agg": SQL_TERMS_AGG,
+    "q_prefix_topk": SQL_PREFIX_TOPK,
+    "q_bm25_collapse_topk": SQL_BM25_COLLAPSE_TOPK,
+    "q_lang_facet": SQL_LANG_FACET,
+    "q_sig_terms": SQL_SIG_TERMS,
 }

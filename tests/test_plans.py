@@ -129,3 +129,32 @@ def test_blocks_build_single_exchange_at_range_granularity(spark, tmp_path):
     # partitioning is the user-specified one (REPARTITION_BY_COL hint
     # compiles to a shuffle whose partitioning AQE must preserve)
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_terms_agg_uses_takeordered_not_global_sort(spark, sf_tiny):
+    """The terms aggregation's top-N must execute as
+    TakeOrderedAndProject (per-partition heaps + driver merge), not a
+    full global sort of the vocabulary — the difference between O(N)
+    and a vocabulary-wide range shuffle at corpus scale."""
+    df = C.SPARK_QUERIES["q_terms_agg"](spark, sf_tiny)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_prefix_expansion_pushes_startswith(spark, sf_tiny):
+    """Prefix-query term expansion must reach the termdict scan as a
+    pushed StringStartsWith filter (the dictionary range-seek), and the
+    candidate join must be a broadcast equi-join — no nested-loop."""
+    df = C.SPARK_QUERIES["q_prefix_topk"](spark, sf_tiny)
+    assert_in_plan(df, "StringStartsWith(term,")
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_collapse_topk_no_cartesian_and_group_limit(spark, sf_tiny):
+    """Field collapsing ranks with two windows; both must run with
+    window-group-limit pushdown (rank<=k prunes before the final
+    sort) and without any cross product."""
+    df = C.SPARK_QUERIES["q_bm25_collapse_topk"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
