@@ -39,7 +39,10 @@ def main() -> None:
     spark = get_spark(args.master, app_name="build-index")
     spark.sparkContext.setLogLevel("WARN")
 
-    from snowplow_elasticsearch_loader_spark.index_store import build_index
+    from snowplow_elasticsearch_loader_spark.index_store import (
+        build_blocks_only,
+        build_index,
+    )
     from snowplow_elasticsearch_loader_spark.sources.transcripts import synth_transcripts
 
     if args.synth:
@@ -48,7 +51,19 @@ def main() -> None:
         tr = spark.read.parquet(args.input)
 
     t0 = time.time()
-    idx = build_index(spark, tr, args.output, cfg, ranges_per_batch=args.ranges_per_batch)
+    # Route on input shape: the full pipeline (keying, dedup, badrows,
+    # checkpoints) is for transcript tables; a table that already
+    # carries (doc_id, text) — e.g. a prepared documents corpus — goes
+    # through the doc-store-native build.
+    if "conv_id" in tr.columns and "turn_idx" in tr.columns:
+        idx = build_index(spark, tr, args.output, cfg, ranges_per_batch=args.ranges_per_batch)
+    elif "doc_id" in tr.columns and "text" in tr.columns:
+        idx = build_blocks_only(spark, tr, args.output, cfg)
+    else:
+        raise SystemExit(
+            "input must be a transcripts table (conv_id, turn_idx, text, ...) "
+            f"or a documents table (doc_id, text, ...); got columns {tr.columns}"
+        )
     dt = time.time() - t0
     n = idx.documents.count()
     print(json.dumps({"turns": n, "build_sec": round(dt, 1), "turns_per_sec": round(n / dt, 1)}))

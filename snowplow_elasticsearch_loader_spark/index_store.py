@@ -409,6 +409,12 @@ def build_index(
     """
     ensure_shipped(spark)
     cfg.validate()
+    missing = {"conv_id", "turn_idx", "text"} - set(transcripts.columns)
+    if missing:
+        raise ValueError(
+            f"build_index expects a transcripts table; missing columns {sorted(missing)}. "
+            "For a table already keyed by (doc_id, text) use build_blocks_only."
+        )
     docs_path = os.path.join(path, "documents")
     pending_metrics: list[tuple] = []
     # per-stage wall clocks (seconds, cumulative per label) — persisted
