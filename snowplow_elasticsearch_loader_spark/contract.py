@@ -106,9 +106,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
 
 
-def _sql_bm25_scored_cte(quantize: bool = False, doc_filter: str | None = None) -> str:
+def _sql_bm25_scored_cte(
+    quantize: bool = False,
+    doc_filter: str | None = None,
+    qterms_cte: str | None = None,
+) -> str:
     """The shared ``WITH ... scored AS (query_id, doc_id, score)`` CTE
-    prefix of every ranking oracle (top-k, pagination, collapsing)."""
+    prefix of every ranking oracle (top-k, pagination, collapsing).
+    ``qterms_cte`` overrides how the (query_id, term, qtf) table is
+    derived (default: tokenize the reference query set) — used by
+    multi-term rewrites like the fuzzy query's expansion."""
     k1, b = CFG.bm25.k1, CFG.bm25.b
     # SmallFloat-style 4-bit-mantissa doclen quantization — identical
     # integer shifts to the engine (bm25.quantize_doclen_col)
@@ -123,17 +130,19 @@ def _sql_bm25_scored_cte(quantize: bool = False, doc_filter: str | None = None) 
         if doc_filter
         else ""
     )
+    if qterms_cte is None:
+        qterms_cte = f"""qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term)"""
     return f"""
 WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
 corpus AS (
   SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
 ),
 tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-qraw AS (SELECT * FROM {queries_sql_values()}),
-qtoks AS (
-  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
-),
-qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+{qterms_cte},
 contribs AS (
   SELECT q.query_id, p.doc_id,
          q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
@@ -537,6 +546,69 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, term, fg_df, lift FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: fuzzy probes — misspellings of corpus terms (merge, join, spark)
+_FUZZY_PROBES = ["mergee", "jion", "sparc"]
+#: ES ``fuzzy.max_expansions`` default
+_FUZZY_MAX_EXPANSIONS = 50
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy-query parity: each probe expands to the index terms
+    within Levenshtein distance 1 (classic distance on both engines;
+    ES's default is Damerau — transposition=1 — so a transposed pair
+    here costs 2, documented deviation), capped at the df-highest
+    ``max_expansions`` terms (ES's cap, ties term asc), then scored as
+    BM25 over the expanded terms with qtf=1 each. The expansion walks
+    the TERM DICTIONARY only (ES's automaton walk analog) and the
+    matched set is collected driver-side — metadata-sized, exactly
+    like query-term stats — so the postings scan stays term-pushed."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    probes = literal_df(spark, [(p,) for p in _FUZZY_PROBES], "query_id string")
+    matched = (
+        ts.join(
+            F.broadcast(probes),
+            F.levenshtein(F.col("term"), F.col("query_id")) <= 1,
+        )
+        .select("query_id", "term", "df")
+        .collect()
+    )
+    by_probe: dict[str, list] = {}
+    for r in matched:
+        by_probe.setdefault(r["query_id"], []).append((r["term"], int(r["df"])))
+    rows = []
+    for qid, terms in by_probe.items():
+        terms.sort(key=lambda t: (-t[1], t[0]))
+        rows += [(qid, t, bm25.idf(n_docs, df)) for t, df in terms[:_FUZZY_MAX_EXPANSIONS]]
+    qterms = literal_df(spark, rows, bm25.QTERMS_SCHEMA)
+    posts_q = posts.filter(F.col("term").isin(sorted({t for _, t, _ in rows})))
+    scored = bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG)
+    return bm25.topk(scored, DEFAULT_K)
+
+
+_SQL_FUZZY_QTERMS = f"""probes(query_id) AS (VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}),
+exp0 AS (
+  SELECT p.query_id, t.term,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY t.df DESC, t.term ASC) AS xr
+  FROM probes p JOIN tstats t ON levenshtein(p.query_id, t.term) <= 1
+),
+qterms AS (SELECT query_id, term, CAST(1.0 AS DOUBLE) AS qtf FROM exp0 WHERE xr <= {_FUZZY_MAX_EXPANSIONS})"""
+
+SQL_FUZZY_TOPK = f"""
+{_sql_bm25_scored_cte(qterms_cte=_SQL_FUZZY_QTERMS)},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 """
 
 
@@ -1803,6 +1875,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_collapse_topk": q_bm25_collapse_topk,
     "q_lang_facet": q_lang_facet,
     "q_sig_terms": q_sig_terms,
+    "q_fuzzy_topk": q_fuzzy_topk,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1857,4 +1930,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_bm25_collapse_topk": SQL_BM25_COLLAPSE_TOPK,
     "q_lang_facet": SQL_LANG_FACET,
     "q_sig_terms": SQL_SIG_TERMS,
+    "q_fuzzy_topk": SQL_FUZZY_TOPK,
 }
