@@ -51,13 +51,15 @@ BENCH_TMP = os.environ.get(
 # 8/32 measures sandbox contention, not the engine's scalability.
 N_SMALL = int(os.environ.get("BENCH_SMALL", "2"))
 N_BIG = int(os.environ.get("BENCH_BIG", str(4 * N_SMALL)))
-# 80k convs (~2.9M turns): big enough that the 4N side's parallel work
+# 160k convs (~5.8M turns): big enough that the 4N side's parallel work
 # dominates the ~8-10s of fixed per-build cost (job planning, python
-# worker spawn, commit). Measured clean-window pairs by Amdahl with
-# identical code: raw eff ~0.71 at 40k (8-core build 26s), 0.91 at 80k
-# (8-core build 59s, control 0.96) — the smaller corpus measures fixed
-# cost, not the engine.
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "80000"))
+# worker spawn, commit). Amdahl at this sandbox's fixed cost: with an
+# 8-core parallel region of ~25s and ~8s fixed, a PERFECT engine
+# measures (100+8)/(4*(25+8)) = 0.82 at 80k convs — the corpus, not the
+# engine, caps the measurable ratio; 160k (~70s parallel at 8c) lifts
+# the perfect-engine reading to ~0.9. Earlier ladder (same code): raw
+# eff ~0.71 at 40k, 0.91 at 80k in one clean window (r02 protocol).
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "160000"))
 #: corpus for the latency section (kept fixed across rounds so p50/p99
 #: are comparable round-over-round regardless of the scaling corpus)
 LATENCY_CONVS = int(os.environ.get("BENCH_LATENCY_CONVS", "16000"))
@@ -206,6 +208,44 @@ def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
     _sh.rmtree(d, ignore_errors=True)
     spark.stop()
     print(json.dumps({"sec": dt, "ctl_sec": ctl, "turns": n, "stages": stages}))
+
+
+def _probe_task(i: int) -> int:
+    import numpy as np
+
+    x = np.random.default_rng(i).integers(0, 1 << 40, size=4_000_000)
+    x.sort()
+    return int(x[0])
+
+
+def host_probe() -> float:
+    """~40 s Spark-free window probe: N-vs-4N ratio of a fixed batch of
+    numpy alloc+sort tasks under the ENGINE'S resource profile — the
+    same mallopt tuning the build's python workers run with, and a
+    warmed pool so the heap is faulted in (the build's steady state
+    after its warmup wave). Gates expensive pairs into clean windows;
+    the plain scripts/host_probe.py (untuned, cold pools) reads 0.4-0.7
+    in windows where this — and the build — deliver 0.9+, because it
+    measures the first-touch fault path the engine deliberately left."""
+    import multiprocessing as mp
+
+    from snowplow_elasticsearch_loader_spark.session import apply_malloc_tuning
+
+    def level(n: int) -> float:
+        os.sched_setaffinity(0, set(range(CPU_BASE, CPU_BASE + n)))
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n, initializer=apply_malloc_tuning) as pool:
+            pool.map(_probe_task, range(2 * n), chunksize=1)  # fault heaps in
+            t0 = time.time()
+            pool.map(_probe_task, range(32), chunksize=1)
+            return time.time() - t0
+
+    try:
+        t_small = level(N_SMALL)
+        t_big = level(N_BIG)
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 1)))
+    return t_small / ((N_BIG / N_SMALL) * t_big)
 
 
 def _ctl_alloc_sort(it):
@@ -363,6 +403,14 @@ def main() -> None:
     med = statistics.median
     spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)  # noqa: E731
     good = lambda: [i for i, c in enumerate(pair_ctl_effs) if c >= CTL_GOOD]  # noqa: E731
+    #: wall budget for the whole scaling section (probe waits included):
+    #: the driver's bench invocation must terminate even if the host
+    #: never leaves a degraded phase
+    wall_budget = float(os.environ.get("BENCH_SCALING_WALL_BUDGET_SEC", "2700"))
+    probe_good = float(os.environ.get("BENCH_PROBE_GOOD", "0.85"))
+    probe_wait = float(os.environ.get("BENCH_PROBE_WAIT_SEC", "150"))
+    t_scaling0 = time.time()
+    probe_log: list[float] = []
     for rep in range(max_reps):
         # early stop needs: >=2 pairs measured in CLEAN host windows
         # (control scaled), their ratios agreeing, and the raw runs of
@@ -378,6 +426,29 @@ def main() -> None:
                 gb = [dts_big[i] for i in g]
                 if ratios_ok and spread(gs) <= 0.15 and spread(gb) <= 0.15:
                     break
+        if rep >= 1 and time.time() - t_scaling0 > wall_budget:
+            log(f"scaling wall budget ({wall_budget:.0f}s) exhausted after {rep} pairs")
+            break
+        # probe-gate the pair into a clean host window: a ~40s probe +
+        # short sleeps cost far less than discovering the degradation
+        # with a 10-minute measured pair (the r04a protocol burned 4
+        # full pairs in one degraded 80-minute phase). Waiting is
+        # bounded per pair so a long degraded phase still yields
+        # measured (and honestly gated) pairs rather than silence.
+        probe_tries = int(os.environ.get("BENCH_PROBE_TRIES", "4"))
+        for attempt in range(probe_tries):
+            p = host_probe()
+            probe_log.append(round(p, 3))
+            if p >= probe_good:
+                break
+            if time.time() - t_scaling0 > wall_budget:
+                log(f"probe {p:.2f} degraded and budget exhausted — measuring anyway")
+                break
+            if attempt == probe_tries - 1:
+                log(f"probe {p:.2f} still degraded after {probe_tries} waits — measuring anyway")
+                break
+            log(f"probe {p:.2f} < {probe_good} (window degraded) — waiting {probe_wait:.0f}s")
+            time.sleep(probe_wait)
         dt_s, ctl_s, n_turns, st_s = pinned_build(N_SMALL, corpus, warm_corpus)
         dt_b, ctl_b, _, st_b = pinned_build(N_BIG, corpus, warm_corpus)
         stages_small.append(st_s)
@@ -395,15 +466,6 @@ def main() -> None:
             f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}) | eff {raw:.2f} | "
             f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}"
             + ("" if ctl >= CTL_GOOD else " | window DEGRADED (excluded)"))
-        # degraded-window backoff: this host's fault-path capacity moves
-        # in multi-ten-minute phases; when a pair's control says the
-        # window is degraded and no clean pair exists yet, waiting a few
-        # minutes before the next pair costs little and often spans into
-        # a clean phase (all raw pairs are still published either way)
-        if ctl < CTL_GOOD and not good() and rep < max_reps - 1:
-            backoff = int(os.environ.get("BENCH_DEGRADED_BACKOFF_SEC", "240"))
-            log(f"window degraded (ctl {ctl:.2f} < {CTL_GOOD}) — backing off {backoff}s")
-            time.sleep(backoff)
     g = good()
     #: headline = median over clean-window pairs; all pairs published
     eff_pairs = [pair_effs[i] for i in g] if len(g) >= 1 else pair_effs
@@ -443,6 +505,8 @@ def main() -> None:
         "scaling_efficiency_allpairs": round(med(pair_effs), 3),
         "clean_window_pairs": g,
         "ctl_good_threshold": CTL_GOOD,
+        "window_probe_effs": probe_log,
+        "probe_good_threshold": probe_good,
         "control_scaling_efficiency": round(ctl_eff, 3),
         "scaling_efficiency_normalized": round(med(pair_norm), 3),
         # per-stage medians at each level + per-stage scaling efficiency
