@@ -144,7 +144,7 @@ corpus AS (
 tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
 {qterms_cte},
 contribs AS (
-  SELECT q.query_id, p.doc_id,
+  SELECT q.query_id, p.doc_id, p.term,
          q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
            * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*{dl}/c.avgdl)) AS contrib
   FROM qterms q
@@ -609,6 +609,56 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` parity: the per-term BM25 contribution breakdown
+    for each query's TOP HIT — (query_id, doc_id, term, contribution),
+    sum(contribution) = the hit's reported score. The explain set is
+    top-1 per query (the hit a user inspects), joined back to the
+    un-aggregated contribution table; both sides round at 6 places."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    posts_q = posts.filter(F.col("term").isin(qterm_list))
+    top1 = (
+        bm25.topk(bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG), 1)
+        .select("query_id", "doc_id")
+    )
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    cand = posts_q.join(F.broadcast(qterms), "term").join(ds, "doc_id")
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    return (
+        cand.select("query_id", "doc_id", "term", F.round(contrib, 6).alias("contribution"))
+        .join(F.broadcast(top1), ["query_id", "doc_id"])
+    )
+
+
+SQL_EXPLAIN_SCORES = f"""
+{_sql_bm25_scored_cte()},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+),
+top1 AS (SELECT query_id, doc_id FROM ranked WHERE rank = 1)
+SELECT c.query_id, c.doc_id, c.term, round(c.contrib, 6) AS contribution
+FROM contribs c JOIN top1 USING (query_id, doc_id)
 """
 
 
@@ -1876,6 +1926,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_facet": q_lang_facet,
     "q_sig_terms": q_sig_terms,
     "q_fuzzy_topk": q_fuzzy_topk,
+    "q_explain_scores": q_explain_scores,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1931,4 +1982,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_lang_facet": SQL_LANG_FACET,
     "q_sig_terms": SQL_SIG_TERMS,
     "q_fuzzy_topk": SQL_FUZZY_TOPK,
+    "q_explain_scores": SQL_EXPLAIN_SCORES,
 }
