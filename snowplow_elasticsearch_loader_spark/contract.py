@@ -662,6 +662,85 @@ FROM contribs c JOIN top1 USING (query_id, doc_id)
 """
 
 
+#: more-like-this probe docs + ES-default-style selection knobs
+_MLT_DOCS = [1, 42, 100]
+_MLT_MIN_TF = 2      # ES min_term_freq
+_MLT_MIN_DF = 5      # ES min_doc_freq
+_MLT_MAX_TERMS = 10  # ES max_query_terms (25 default; 10 on this vocab)
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more-like-this parity: for each probe doc, select its
+    "interesting" terms — tf >= min_term_freq, df >= min_doc_freq,
+    ranked by tf*idf (rounded at 6 so both engines order identically),
+    top max_query_terms — then run a BM25 OR-query over them (qtf=1)
+    excluding the source doc. Term selection happens driver-side from
+    the probe docs' postings rows (metadata-sized — exactly where ES's
+    coordinating node does it)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    src = (
+        posts.filter(F.col("doc_id").isin(_MLT_DOCS))
+        .join(ts, "term")
+        .select("doc_id", "term", "tf", "df")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in src:
+        if int(r["tf"]) >= _MLT_MIN_TF and int(r["df"]) >= _MLT_MIN_DF:
+            sel = round(int(r["tf"]) * bm25.idf(n_docs, int(r["df"])), 6)
+            by_doc.setdefault(int(r["doc_id"]), []).append((sel, r["term"], int(r["df"])))
+    rows = []
+    for d, terms in by_doc.items():
+        terms.sort(key=lambda t: (-t[0], t[1]))
+        rows += [
+            (f"mlt-{d}", t, bm25.idf(n_docs, df)) for _, t, df in terms[:_MLT_MAX_TERMS]
+        ]
+    qterms = literal_df(spark, rows, bm25.QTERMS_SCHEMA)
+    posts_q = posts.filter(F.col("term").isin(sorted({t for _, t, _ in rows})))
+    scored = bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG)
+    scored = scored.filter(
+        F.col("query_id") != F.concat(F.lit("mlt-"), F.col("doc_id").cast("string"))
+    )
+    return bm25.topk(scored, DEFAULT_K)
+
+
+_SQL_MLT_QTERMS = f"""probes(src_doc) AS (VALUES {", ".join(f"({d})" for d in _MLT_DOCS)}),
+int0 AS (
+  SELECT pr.src_doc, p.term,
+         round(p.tf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5)), 6) AS sel
+  FROM probes pr
+  JOIN postings p ON p.doc_id = pr.src_doc
+  JOIN tstats t USING (term)
+  CROSS JOIN corpus c
+  WHERE p.tf >= {_MLT_MIN_TF} AND t.df >= {_MLT_MIN_DF}
+),
+intr AS (
+  SELECT src_doc, term,
+         row_number() OVER (PARTITION BY src_doc ORDER BY sel DESC, term ASC) AS xr
+  FROM int0
+),
+qterms AS (
+  SELECT 'mlt-' || src_doc AS query_id, term, CAST(1.0 AS DOUBLE) AS qtf
+  FROM intr WHERE xr <= {_MLT_MAX_TERMS}
+)"""
+
+SQL_MLT_TOPK = f"""
+{_sql_bm25_scored_cte(qterms_cte=_SQL_MLT_QTERMS)},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+  WHERE query_id != 'mlt-' || doc_id
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with Lucene SmallFloat-style quantized doclen norms
     (SURVEY §7-hard #1): same plan as q_bm25_topk, doclen floor-
@@ -1927,6 +2006,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sig_terms": q_sig_terms,
     "q_fuzzy_topk": q_fuzzy_topk,
     "q_explain_scores": q_explain_scores,
+    "q_mlt_topk": q_mlt_topk,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -1983,4 +2063,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_sig_terms": SQL_SIG_TERMS,
     "q_fuzzy_topk": SQL_FUZZY_TOPK,
     "q_explain_scores": SQL_EXPLAIN_SCORES,
+    "q_mlt_topk": SQL_MLT_TOPK,
 }
