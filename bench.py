@@ -182,7 +182,13 @@ def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, fl
     )
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
-    return float(r["sec"]), float(r["ctl_sec"]), int(r["turns"]), r.get("stages", {})
+    return (
+        float(r["sec"]),
+        float(r["ctl_sec"]),
+        int(r["turns"]),
+        r.get("stages", {}),
+        float(r.get("ctl_post_sec", 0.0)),
+    )
 
 
 def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
@@ -206,8 +212,16 @@ def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
     ctl = control_run(spark, corpus)
     dt, n, d, stages = timed_build(master, corpus, spark=spark)
     _sh.rmtree(d, ignore_errors=True)
+    # second control AFTER the timed build: the host's phase can shift
+    # mid-child (observed: control clean at 0.89, build measured during
+    # a dip minutes later); a pair is only window-clean if BOTH controls
+    # scaled, bracketing the build
+    ctl_post = control_run(spark, corpus)
     spark.stop()
-    print(json.dumps({"sec": dt, "ctl_sec": ctl, "turns": n, "stages": stages}))
+    print(json.dumps({
+        "sec": dt, "ctl_sec": ctl, "ctl_post_sec": ctl_post,
+        "turns": n, "stages": stages,
+    }))
 
 
 def _probe_task(i: int) -> int:
@@ -449,8 +463,8 @@ def main() -> None:
                 break
             log(f"probe {p:.2f} < {probe_good} (window degraded) — waiting {probe_wait:.0f}s")
             time.sleep(probe_wait)
-        dt_s, ctl_s, n_turns, st_s = pinned_build(N_SMALL, corpus, warm_corpus)
-        dt_b, ctl_b, _, st_b = pinned_build(N_BIG, corpus, warm_corpus)
+        dt_s, ctl_s, n_turns, st_s, ctl2_s = pinned_build(N_SMALL, corpus, warm_corpus)
+        dt_b, ctl_b, _, st_b, ctl2_b = pinned_build(N_BIG, corpus, warm_corpus)
         stages_small.append(st_s)
         stages_big.append(st_b)
         dts_small.append(dt_s)
@@ -458,13 +472,23 @@ def main() -> None:
         ctls_small.append(ctl_s)
         ctls_big.append(ctl_b)
         raw = dt_s / ((N_BIG / N_SMALL) * dt_b)
-        ctl = ctl_s / ((N_BIG / N_SMALL) * ctl_b)
+        ctl_pre = ctl_s / ((N_BIG / N_SMALL) * ctl_b)
+        ctl_post = (
+            ctl2_s / ((N_BIG / N_SMALL) * ctl2_b) if ctl2_s > 0 and ctl2_b > 0 else ctl_pre
+        )
+        # a pair is window-clean only if the controls BRACKETING the
+        # timed build both scaled — the phase can shift mid-child
+        ctl = min(ctl_pre, ctl_post)
         pair_effs.append(raw)
         pair_ctl_effs.append(ctl)
         pair_norm.append(min(raw / ctl, 1.0) if ctl > 0 else 0.0)
-        log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}) | "
-            f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}) | eff {raw:.2f} | "
-            f"host-ceiling {ctl:.2f} | normalized {pair_norm[-1]:.2f}"
+        worst = sorted(
+            ((st_s.get(k, 0.0) / ((N_BIG / N_SMALL) * v), k) for k, v in st_b.items() if v > 0.5),
+        )[:2]
+        log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}/{ctl2_s:.1f}) | "
+            f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}/{ctl2_b:.1f}) | eff {raw:.2f} | "
+            f"host-ceiling {ctl_pre:.2f}/{ctl_post:.2f} | normalized {pair_norm[-1]:.2f} | "
+            f"worst-stages {', '.join(f'{k}={e:.2f}' for e, k in worst)}"
             + ("" if ctl >= CTL_GOOD else " | window DEGRADED (excluded)"))
     g = good()
     #: headline = median over clean-window pairs; all pairs published
