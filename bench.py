@@ -279,26 +279,37 @@ def _ctl_alloc_sort(it):
 
 def control_run(spark, corpus: str) -> float:
     """Engine-independent control in the SAME session as the timed
-    build: (a) two JVM tokenize+count passes (CPU delivery), (b) a
+    build: (a) a JVM tokenize+count pass (CPU delivery), (b) a
     python-worker pass of fixed-size numpy alloc+sort per partition —
     the r3 control was JVM-only, so host windows with a degraded
     page-fault path gated as 'clean' while the build's python stage
-    collapsed (VERDICT r3). Total work is level-independent; the ratio
-    is the host's delivered ceiling for this window across BOTH paths."""
+    collapsed (VERDICT r3) — and (c) a corpus-sized parquet write to
+    the same tmpfs scratch the build writes to. (c) is the r04b fix:
+    every fresh tmpfs page is a minor fault whose service cost explodes
+    under concurrency in this guest's degraded phases (free-page
+    reporting), and the build writes the corpus ~2x (staging + doc
+    store) plus blocks — a window where compute scales but the fault
+    path is degraded previously read 'clean' on the control while the
+    build's write stages sat at 0.24-0.46, misattributing host weather
+    to the engine. The phase mix (CPU / python-alloc / tmpfs-write)
+    roughly matches the build's own stage profile, so the control ratio
+    is the host's delivered ceiling for THIS job shape. Total work is
+    level-independent; writes are deleted after the timer."""
+    import shutil as _sh
+
     from pyspark.sql import functions as F
 
     from snowplow_elasticsearch_loader_spark.functions.analyze import tokens_col
 
     df = spark.read.parquet(corpus)
+    wdir = tempfile.mkdtemp(prefix="ctl-write-", dir=BENCH_TMP)
     t0 = time.time()
-    for _ in range(2):  # two passes: keep the control itself above the
-        # per-job fixed cost so ITS ratio reflects delivered cores
-        (
-            df.select(F.explode(tokens_col("text")).alias("term"))
-            .groupBy("term")
-            .count()
-            .write.format("noop").mode("overwrite").save()
-        )
+    (
+        df.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .count()
+        .write.format("noop").mode("overwrite").save()
+    )
     (
         spark.range(0, 32, 1, 32)
         .mapInPandas(_ctl_alloc_sort, "n long")
@@ -306,7 +317,12 @@ def control_run(spark, corpus: str) -> float:
         .mode("overwrite")
         .save()
     )
-    return time.time() - t0
+    df.select("conv_id", "turn_idx", "text").write.mode("overwrite").parquet(
+        os.path.join(wdir, "w")
+    )
+    dt = time.time() - t0
+    _sh.rmtree(wdir, ignore_errors=True)
+    return dt
 
 
 def bm25_latency(index_dir: str) -> dict:
@@ -534,13 +550,35 @@ def main() -> None:
         "control_scaling_efficiency": round(ctl_eff, 3),
         "scaling_efficiency_normalized": round(med(pair_norm), 3),
         # per-stage medians at each level + per-stage scaling efficiency
-        # (attribution evidence for the north-rule scaling number)
-        "stages_small_sec": _stage_median(stages_small),
-        "stages_big_sec": _stage_median(stages_big),
+        # (attribution evidence for the north-rule scaling number);
+        # medians over CLEAN-window pairs only, like the headline — a
+        # degraded window's stage readings measure the host, not the
+        # stage (all runs are still published below)
+        "stages_small_sec": _stage_median(
+            [stages_small[i] for i in g] if g else stages_small
+        ),
+        "stages_big_sec": _stage_median(
+            [stages_big[i] for i in g] if g else stages_big
+        ),
+        # every run's raw stage split (medians hide which window a
+        # degraded stage reading came from)
+        "stages_small_runs": [
+            {k: round(v, 2) for k, v in d.items()} for d in stages_small
+        ],
+        "stages_big_runs": [
+            {k: round(v, 2) for k, v in d.items()} for d in stages_big
+        ],
         "stage_efficiency": {
             k: round(v / ((N_BIG / N_SMALL) * bg), 2)
-            for k, v in _stage_median(stages_small).items()
-            if (bg := _stage_median(stages_big).get(k, 0.0)) > 0
+            for k, v in _stage_median(
+                [stages_small[i] for i in g] if g else stages_small
+            ).items()
+            if (
+                bg := _stage_median(
+                    [stages_big[i] for i in g] if g else stages_big
+                ).get(k, 0.0)
+            )
+            > 0
         },
     }
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "

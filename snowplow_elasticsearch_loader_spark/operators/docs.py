@@ -321,12 +321,34 @@ def assign_doc_ids(
     if {"ts", "text"} <= set(base_cols):
         order += [F.asc_nulls_last("ts"), F.asc_nulls_last("text")]
     w = Window.partitionBy("_bucket").orderBy(*order)
-    ranked = bucketed.withColumn(
-        "_dr", F.dense_rank().over(Window.partitionBy("_bucket").orderBy(F.asc("_key")))
-    )
     if dedup:
-        ranked = ranked.withColumn("_first", F.lag("_key").over(w).isNull() | (F.lag("_key").over(w) != F.col("_key"))).filter(
-            F.col("_first")
+        # ONE bucket sort for both dedup and ranking: under w's ordering
+        # (primary key ascending) dense_rank(_key) equals the running
+        # count of first-occurrence rows, so the rank rides the same
+        # sorted pass as the lag-based dedup filter. The previous shape
+        # (dense_rank over orderBy(_key) + lag over w) had two window
+        # orderings over the same partitioning — Catalyst planned TWO
+        # full sorts of the corpus-text shuffle, the dominant cost of
+        # the doc-store stage at scale.
+        first = F.lag("_key").over(w).isNull() | (
+            F.lag("_key").over(w) != F.col("_key")
+        )
+        ranked = (
+            bucketed.withColumn("_firsti", first.cast("int"))
+            .withColumn(
+                "_dr",
+                F.sum("_firsti").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .filter(F.col("_firsti") == 1)
+        )
+    else:
+        ranked = bucketed.withColumn(
+            "_dr",
+            F.dense_rank().over(
+                Window.partitionBy("_bucket").orderBy(F.asc("_key"))
+            ),
         )
     return ranked.select(
         *base_cols,

@@ -155,6 +155,12 @@ def get_spark(
         # reference's 10MB batch flush (reference.conf:28).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # dynamic-partition writes (doc store partitioned by shard_date)
+        # otherwise plan a full extra SORT of the written rows by
+        # partition key per task; shard_date cardinality is tiny (days),
+        # so concurrent open writers skip that sort entirely. Spark
+        # falls back to the sort automatically if a task exceeds this.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
         # v2 committer: tasks move their output files into place
         # themselves instead of the driver renaming every file serially
         # at job commit — the commit path scales with executors, which
