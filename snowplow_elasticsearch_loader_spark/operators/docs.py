@@ -156,6 +156,43 @@ def _rank_key_col() -> Column:
     )
 
 
+def _rowgroup_sample_cuts(files: list[str], num_ranges: int) -> list[str] | None:
+    """Quantile cuts from a DRIVER-SIDE pyarrow read of a few row
+    groups' conv_id column — the non-clustered-files replacement for
+    the boundary-sampling Spark job (a full corpus pass that dominated
+    the id_offsets stage). Reads O(sampled row groups) bytes in
+    milliseconds, deterministically (fixed file/row-group choice).
+
+    Cut QUALITY only affects load balance, never ranks: bucket identity
+    is "count of cuts <= key", and duplicate keys land on the same side
+    of every value cut, which is all the dedup-fused ranking needs. A
+    shuffled writer scatters conv_ids uniformly across files, so even
+    two files' row groups estimate global quantiles well; a clustered
+    writer takes the exact per-file-max path instead of this one."""
+    try:
+        import pyarrow.parquet as pq
+
+        step = max(1, len(files) // 16)
+        vals: list = []
+        for f in files[::step][:16]:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            pf = pq.ParquetFile(path)
+            for rg in range(min(2, pf.metadata.num_row_groups)):
+                col = pf.read_row_group(rg, columns=["conv_id"]).column(0)
+                vals.extend(col.to_pylist()[:20000])
+            if len(vals) >= 100000:
+                break
+        if len(vals) < 4 * num_ranges:
+            return None
+        vals.sort()
+        cuts = sorted(
+            {vals[len(vals) * i // num_ranges] for i in range(1, num_ranges)}
+        )
+        return cuts or None
+    except Exception:
+        return None
+
+
 def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
     """Range-boundary cuts from parquet FOOTER statistics — a driver-
     side metadata read (milliseconds), replacing the boundary-sampling
@@ -219,10 +256,52 @@ def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
         # files are NOT range-clustered (a shuffled writer gives every
         # file ~the same max, collapsing the cut set): a near-empty cut
         # list would funnel the whole corpus through one rank-window
-        # bucket — a single-task serial stage at any core count. Fall
-        # back to the sampling path instead.
-        return None
+        # bucket — a single-task serial stage at any core count. Sample
+        # conv_id quantiles driver-side from a few row groups instead of
+        # paying a full boundary-sampling pass over the corpus (the
+        # id_offsets stage's dominant cost); the Spark sampling path
+        # remains the fallback when this returns None (e.g. tiny files,
+        # single conv_id).
+        return _rowgroup_sample_cuts(files, num_ranges)
     return cuts
+
+
+def _steer_tokens(spark, nb: int) -> list[int] | None:
+    """bucket -> integer steering token such that Spark's hash
+    partitioner maps each token to a DISTINCT partition of nb.
+
+    ``repartition(nb, _bucket)`` murmur3-hashes the bucket id, and
+    balls-in-bins leaves ~1/e of the nb partitions empty while stacking
+    2-3 buckets on others — the rank-window stage then runs as one wave
+    with a 2-3x straggler at high core counts (measured: task_max 1.81
+    vs mean 1.37 on the doc-store reduce). Steering through a token with
+    a collision-free hash makes the exchange bucket-per-partition: the
+    stage packs perfectly at any core count, which is exactly the
+    executors-times-slots shape the N->4N scaling rule measures.
+
+    Tokens come from ONE metadata-sized Spark job (range over a few
+    hundred ints, collect of (id, pmod(hash(id), nb))) so the exact JVM
+    murmur3 is used rather than a python reimplementation; memoized per
+    (session, nb). Returns None if the candidate pool somehow misses a
+    partition (caller falls back to hashing the bucket id directly)."""
+    key = (id(spark._jsparkSession), nb)
+    got = _STEER_CACHE.get(key)
+    if got is not None:
+        return got
+    rows = (
+        spark.range(0, max(256, nb * 16))
+        .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(nb)).alias("p"))
+        .collect()
+    )
+    by_p: dict[int, int] = {}
+    for r in rows:
+        by_p.setdefault(int(r["p"]), int(r["id"]))
+    out = [by_p[p] for p in range(nb)] if len(by_p) == nb else None
+    _STEER_CACHE[key] = out
+    return out
+
+
+_STEER_CACHE: dict[tuple[int, int], list[int] | None] = {}
 
 
 def assign_doc_ids(
@@ -320,7 +399,25 @@ def assign_doc_ids(
     order = [F.asc("_key")]
     if {"ts", "text"} <= set(base_cols):
         order += [F.asc_nulls_last("ts"), F.asc_nulls_last("text")]
-    w = Window.partitionBy("_bucket").orderBy(*order)
+    # Partition the rank window by a steering token that is a BIJECTION
+    # of _bucket (so ranks are identical) but whose hash lands each
+    # bucket in its own shuffle partition: the window's exchange then
+    # packs bucket-per-partition instead of stacking 2-3 hash-colliding
+    # buckets on one straggler task. Placement-only: bucket identity,
+    # ordering, and therefore every emitted doc_id are unchanged.
+    nb = len(cuts) + 1 if cuts else 1
+    steer = _steer_tokens(spark, nb) if nb > 1 else None
+    if steer is not None:
+        smap = F.create_map(
+            *[x for b, t in enumerate(steer) for x in (F.lit(b), F.lit(t))]
+        )
+        bucketed = bucketed.withColumn("_steer", smap[F.col("_bucket")]).repartition(
+            nb, F.col("_steer")
+        )
+        part_col = "_steer"
+    else:
+        part_col = "_bucket"
+    w = Window.partitionBy(part_col).orderBy(*order)
     if dedup:
         # ONE bucket sort for both dedup and ranking: under w's ordering
         # (primary key ascending) dense_rank(_key) equals the running
@@ -347,7 +444,7 @@ def assign_doc_ids(
         ranked = bucketed.withColumn(
             "_dr",
             F.dense_rank().over(
-                Window.partitionBy("_bucket").orderBy(F.asc("_key"))
+                Window.partitionBy(part_col).orderBy(F.asc("_key"))
             ),
         )
     return ranked.select(

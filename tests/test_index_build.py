@@ -191,6 +191,27 @@ def test_doc_id_assignment_parallelism_independent(spark):
     assert a.select("doc_id").distinct().count() == n
 
 
+def test_steer_tokens_bijective_and_memoized(spark):
+    """The rank-window exchange steers each value bucket to a DISTINCT
+    shuffle partition via tokens whose JVM murmur3 hash is collision-
+    free mod nb; a colliding map would stack buckets on one straggler
+    task (placement) but never change ids — asserted in the
+    parallelism-independence test above, which exercises the steered
+    path end-to-end."""
+    from snowplow_elasticsearch_loader_spark.operators.docs import _steer_tokens
+
+    for nb in (4, 32):
+        toks = _steer_tokens(spark, nb)
+        assert toks is not None and len(toks) == nb
+        parts = (
+            spark.createDataFrame([(t,) for t in toks], "id long")
+            .select(F.pmod(F.hash("id"), F.lit(nb)).alias("p"))
+            .collect()
+        )
+        assert sorted(int(r["p"]) for r in parts) == list(range(nb))
+    assert _steer_tokens(spark, 32) is toks  # memoized per (session, nb)
+
+
 def test_resume_rejects_changed_input(spark):
     """Checkpoint rows record the input snapshot (file-listing
     fingerprint / Iceberg snapshot id); resuming or re-running against a
