@@ -317,6 +317,19 @@ def control_run(spark, corpus: str) -> float:
         .mode("overwrite")
         .save()
     )
+    # (b2) a JVM shuffle + narrow in-partition sort — the build's key-
+    # rank and doc-id-clustering phases (this guest's memory path can
+    # deliver well under 4x on Tungsten sort work in degraded windows
+    # while pure compute still scales; a control without a sort phase
+    # gated those windows "clean" and misattributed the loss)
+    (
+        df.select("conv_id", "turn_idx")
+        .repartition(32, F.col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     df.select("conv_id", "turn_idx", "text").write.mode("overwrite").parquet(
         os.path.join(wdir, "w")
     )

@@ -324,24 +324,44 @@ def assign_doc_ids(
        choice anyway);
     2. bucket rows by value (count of boundaries <= key) — bucket
        identity lives in the DATA, so any recomputation agrees;
-    3. count (distinct) keys per bucket -> cumulative offsets;
-    4. per-bucket window: doc_id = offset + dense_rank(key) - 1.
+    3. aggregate rows to a NARROW key table (one row per key, count
+       only); per-bucket key counts -> cumulative offsets;
+    4. rank KEYS per bucket (a window over ~40-byte rows, steered one
+       bucket per shuffle partition): doc_id = offset + rank - 1;
+    5. hash-join ids back to the full rows (SHUFFLE_HASH — the build
+       side is the per-partition slice of the key table, so nothing
+       wide is ever sorted), then re-cluster by bucket and sort each
+       partition by the int64 doc_id for the range-pruned doc-store
+       file layout downstream readers depend on.
 
-    No global single-partition window; every pass is fully parallel.
+    The r4 rewrite: the previous shape ranked the FULL rows under a
+    per-bucket window, which planned a corpus-wide Tungsten sort of
+    (key string, ts, text) plus window evaluation over the wide rows —
+    measured as the dominant, worst-scaling phase of the doc-store
+    stage (this guest's memory path delivers ~2x, not 4x, from 2->8
+    cores on sort/window work; see BASELINE.md). Now the only
+    corpus-wide sort left is an int64 radix sort for file clustering;
+    everything wide moves through hash exchanges only. At 10^12 turns
+    the key table is ~2% of corpus bytes, and the join build side per
+    task is bounded by (#keys / shuffle partitions) — size partitions
+    so it stays ~tens of MB.
+
+    No global single-partition stage; every pass is fully parallel.
     Output is identical at any parallelism level.
 
-    ``dedup=True`` fuses natural-key dedup (E3 idempotency, earliest-ts
-    keep — the same contract as dedup_turns) into the same shuffle:
-    duplicates share a bucket by construction, so deduplication is a
-    ``lag``-based first-occurrence filter under the bucket window, and
-    the dense rank ignores duplicates by ranking the KEY (dense_rank),
-    not the row. Bucket offsets count DISTINCT keys.
+    ``dedup=True`` keeps the earliest row per natural key (E3
+    idempotency — the same contract as dedup_turns): rows whose key
+    count is 1 stream through a filter; the rare duplicated keys
+    resolve to exactly one row by a window over only their rows
+    (already clustered by the join's hash partitioning — no extra
+    exchange), ordered (ts asc nulls last, text asc nulls last) with
+    the remaining orderable columns as a deterministic full-tie break.
+    Bucket offsets count DISTINCT keys.
 
     Everything is JVM-side (no Python workers in this path): bucket
     assignment is a count of boundaries <= key over a literal array
     (O(#buckets) per row, vectorized in codegen; a range join replaces
-    it when #buckets grows past a few thousand), ranking is windowed
-    per bucket — fully parallel across buckets.
+    it when #buckets grows past a few thousand).
     """
     spark = transcripts.sparkSession
     if num_ranges is None:
@@ -375,10 +395,22 @@ def assign_doc_ids(
         bucket_col = F.lit(0)
     bucketed = df.withColumn("_bucket", bucket_col)
 
-    cnt = (
-        F.count_distinct(F.col("_key")) if dedup else F.count(F.lit(1))
-    ).alias("n")
-    counts = bucketed.groupBy("_bucket").agg(cnt).collect()
+    base_cols = [f.name for f in transcripts.schema.fields]
+    has_tie = {"ts", "text"} <= set(base_cols)
+
+    # ---- narrow key table: one row per (_bucket, _key) ----
+    # Count only — the dedup survivor is NOT aggregated here (a
+    # min(struct(ts, text)) would carry full text bytes per key through
+    # the aggregate's exchange, i.e. a second corpus-wide wide shuffle;
+    # measured 2x+ absolute build regression). Survivors are picked by
+    # the tiny duplicate-keys window after the id join instead.
+    keys = bucketed.groupBy("_bucket", "_key").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).persist()
+
+    counts = keys.groupBy("_bucket").agg(
+        (F.count(F.lit(1)) if dedup else F.sum("_n")).alias("n")
+    ).collect()
     if not counts:
         # zero rows (e.g. every row of a redelivered micro-batch was
         # anti-joined away): create_map() with no entries is untyped
@@ -390,67 +422,79 @@ def assign_doc_ids(
     acc = 0
     for row in sorted(counts, key=lambda r: r["_bucket"]):
         offsets[int(row["_bucket"])] = acc
-        acc += row["n"]
+        acc += int(row["n"])
     off_map = F.create_map(
         *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
     )
 
-    base_cols = [f.name for f in transcripts.schema.fields]
-    order = [F.asc("_key")]
-    if {"ts", "text"} <= set(base_cols):
-        order += [F.asc_nulls_last("ts"), F.asc_nulls_last("text")]
-    # Partition the rank window by a steering token that is a BIJECTION
-    # of _bucket (so ranks are identical) but whose hash lands each
-    # bucket in its own shuffle partition: the window's exchange then
-    # packs bucket-per-partition instead of stacking 2-3 hash-colliding
-    # buckets on one straggler task. Placement-only: bucket identity,
-    # ordering, and therefore every emitted doc_id are unchanged.
+    # ---- rank KEYS per bucket, one bucket per shuffle partition ----
+    # The steering token is a bijection of _bucket whose murmur3 hash
+    # lands each bucket in a distinct partition of nb — placement only
+    # (ranks depend on bucket identity + key order, both unchanged),
+    # but the exchange packs bucket-per-partition instead of stacking
+    # 2-3 hash-colliding buckets on one straggler task.
     nb = len(cuts) + 1 if cuts else 1
     steer = _steer_tokens(spark, nb) if nb > 1 else None
     if steer is not None:
         smap = F.create_map(
             *[x for b, t in enumerate(steer) for x in (F.lit(b), F.lit(t))]
         )
-        bucketed = bucketed.withColumn("_steer", smap[F.col("_bucket")]).repartition(
+        rk = keys.withColumn("_steer", smap[F.col("_bucket")]).repartition(
             nb, F.col("_steer")
         )
         part_col = "_steer"
     else:
+        rk = keys
         part_col = "_bucket"
-    w = Window.partitionBy(part_col).orderBy(*order)
-    if dedup:
-        # ONE bucket sort for both dedup and ranking: under w's ordering
-        # (primary key ascending) dense_rank(_key) equals the running
-        # count of first-occurrence rows, so the rank rides the same
-        # sorted pass as the lag-based dedup filter. The previous shape
-        # (dense_rank over orderBy(_key) + lag over w) had two window
-        # orderings over the same partitioning — Catalyst planned TWO
-        # full sorts of the corpus-text shuffle, the dominant cost of
-        # the doc-store stage at scale.
-        first = F.lag("_key").over(w).isNull() | (
-            F.lag("_key").over(w) != F.col("_key")
-        )
-        ranked = (
-            bucketed.withColumn("_firsti", first.cast("int"))
-            .withColumn(
-                "_dr",
-                F.sum("_firsti").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            .filter(F.col("_firsti") == 1)
-        )
-    else:
-        ranked = bucketed.withColumn(
-            "_dr",
-            F.dense_rank().over(
-                Window.partitionBy(part_col).orderBy(F.asc("_key"))
-            ),
-        )
-    return ranked.select(
-        *base_cols,
+    wk = Window.partitionBy(part_col).orderBy(F.asc("_key"))
+    ids = rk.withColumn("_dr", F.row_number().over(wk)).select(
+        "_key",
         (off_map[F.col("_bucket")] + F.col("_dr") - 1).alias("doc_id"),
+        "_n",
     )
+
+    # ---- hash-join ids back to the rows; nothing wide is sorted ----
+    joined = bucketed.join(ids.hint("SHUFFLE_HASH"), "_key")
+    if dedup:
+        # survivor = first row per duplicated key under (ts asc nulls
+        # last, text asc nulls last) — dedup_turns' contract — with the
+        # remaining orderable columns as a deterministic full-tie break.
+        # The window runs over ONLY the duplicate keys' rows (already
+        # clustered by the join's hash(_key) partitioning — no extra
+        # exchange), and duplicates are the rare case, so its sort is
+        # tiny; unique keys (the overwhelming majority) stream through
+        # the filter untouched.
+        order = (
+            [F.asc_nulls_last("ts"), F.asc_nulls_last("text")] if has_tie else []
+        ) + [
+            F.col(f.name)
+            for f in transcripts.schema.fields
+            if f.name not in ("ts", "text")
+            and f.dataType.typeName() not in ("array", "map", "struct", "binary")
+        ]
+        wd = Window.partitionBy("_key").orderBy(*(order or [F.lit(1)]))
+        one = (
+            joined.filter(F.col("_n") > 1)
+            .withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        uniq = joined.filter(F.col("_n") == 1)
+        out = uniq.unionByName(one.select(*uniq.columns))
+    else:
+        out = joined
+    # ---- deterministic doc-id-clustered layout for the write ----
+    # bucket == contiguous doc-id range, so steering buckets back to
+    # partitions + an int64 in-partition sort re-creates the clustered
+    # files downstream range readers prune on (SPIMI doc-range batches,
+    # fetch-phase point reads) — without the old corpus-wide
+    # (key string, ts, text) Tungsten sort, which was the doc-store
+    # stage's dominant and worst-scaling phase.
+    if steer is not None:
+        out = out.withColumn("_steer", smap[F.col("_bucket")]).repartition(
+            nb, F.col("_steer")
+        )
+    return out.sortWithinPartitions("doc_id").select(*base_cols, "doc_id")
 
 
 def prepare_documents(

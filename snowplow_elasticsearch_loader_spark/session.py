@@ -161,21 +161,6 @@ def get_spark(
         # so concurrent open writers skip that sort entirely. Spark
         # falls back to the sort automatically if a task exceeds this.
         .config("spark.sql.maxConcurrentOutputFileWriters", "64")
-        # Scan-split granularity must track cores, not file layout:
-        # Spark sizes splits by totalBytes/defaultParallelism capped at
-        # maxPartitionBytes, which on a small-core executor yields
-        # ~1 task per core — one straggler or a (2,1) wave then idles
-        # half the executor for the stage's tail (measured: the doc-
-        # store map stage ran n=3 tasks at 2 cores, wall 8.3 s for
-        # 11.5 task-seconds). 4 splits per core bounds the wave-tail
-        # loss to ~1/4 wave at ANY core count — the same tasks-per-core
-        # shape a 1000-executor cluster wants.
-        .config("spark.sql.files.minPartitionNum", str(4 * shuffle_partitions))
-        # Smaller AQE target partitions for the same reason on the
-        # shuffle side: the default 64MB advisory coalesced the rank-
-        # window stage to ~cores tasks, one wave, where a single skewed
-        # bucket set the stage wall. ~2+ waves averages the imbalance.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         # v2 committer: tasks move their output files into place
         # themselves instead of the driver renaming every file serially
         # at job commit — the commit path scales with executors, which
