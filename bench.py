@@ -597,7 +597,86 @@ def main() -> None:
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
         f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
+    # append this run's CLEAN pairs to the cross-run ledger: the host's
+    # degraded phases last hours, so a single bench invocation can land
+    # zero clean pairs through no fault of the engine; the ledger keeps
+    # every control-clean measurement (with the code hash it measured)
+    # so the published history median survives one unlucky window.
+    for i in g:
+        _ledger_append(
+            {
+                "eff": round(pair_effs[i], 3),
+                "ctl": round(pair_ctl_effs[i], 3),
+                "norm": round(pair_norm[i], 3),
+                "small_sec": round(dts_small[i], 1),
+                "big_sec": round(dts_big[i], 1),
+                "cores": [N_SMALL, N_BIG],
+                "turns": n_turns,
+                "code": _git_head(),
+                "ts": round(time.time(), 1),
+            }
+        )
+
     _finish(results, total, t_all, prev, skip_latency)
+
+
+LEDGER_PATH = os.path.join(REPO, "BENCH", "clean_pairs.jsonl")
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return (
+            subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                stderr=subprocess.DEVNULL,
+            )
+            .decode()
+            .strip()
+        )
+    except Exception:
+        return "unknown"
+
+
+def _ledger_append(entry: dict) -> None:
+    os.makedirs(os.path.dirname(LEDGER_PATH), exist_ok=True)
+    with open(LEDGER_PATH, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+
+
+def _ledger_history(cores_small: int, cores_big: int, turns: int) -> dict:
+    """Cross-run clean-pair history at the same parallelism pair AND
+    corpus size (small verify corpora must not mix into the headline
+    corpus's history).
+
+    Every entry was measured in a control-clean host window (the same
+    gate the per-run headline uses); entries carry the git hash of the
+    code they measured, published alongside so staleness is auditable.
+    """
+    if not os.path.exists(LEDGER_PATH):
+        return {}
+    effs, codes = [], []
+    with open(LEDGER_PATH) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                e = json.loads(line)
+            except ValueError:
+                continue
+            if e.get("cores") == [cores_small, cores_big] and e.get("turns") == turns:
+                effs.append(float(e["eff"]))
+                codes.append(e.get("code", "unknown"))
+    if not effs:
+        return {}
+    return {
+        "clean_pair_history_effs": effs,
+        "clean_pair_history_codes": codes,
+        "scaling_efficiency_clean_history": round(statistics.median(effs), 3),
+        "clean_pair_history_n": len(effs),
+    }
 
 
 def _finish(results, total, t_all, prev, skip_latency):
@@ -609,6 +688,14 @@ def _finish(results, total, t_all, prev, skip_latency):
         shutil.rmtree(lat_dir, ignore_errors=True)
     else:
         results["bm25_latency_ms"] = prev.get("bm25_latency_ms", {})
+
+    # cross-run clean-pair history (same parallelism pair + corpus), so
+    # one degraded-window invocation still publishes the round's evidence
+    hist = _ledger_history(
+        N_SMALL, N_BIG, int(results["build"].get("turns", 0) or 0)
+    )
+    if hist:
+        results["build"].update(hist)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
