@@ -110,12 +110,16 @@ def _sql_bm25_scored_cte(
     quantize: bool = False,
     doc_filter: str | None = None,
     qterms_cte: str | None = None,
+    exclude_terms: list[str] | None = None,
 ) -> str:
     """The shared ``WITH ... scored AS (query_id, doc_id, score)`` CTE
     prefix of every ranking oracle (top-k, pagination, collapsing).
     ``qterms_cte`` overrides how the (query_id, term, qtf) table is
     derived (default: tokenize the reference query set) — used by
-    multi-term rewrites like the fuzzy query's expansion."""
+    multi-term rewrites like the fuzzy query's expansion.
+    ``exclude_terms`` drops every doc CONTAINING any of these terms
+    from the candidate set (ES ``bool.must_not`` semantics: exclusion
+    restricts candidates only; df/avgdl stay index-wide)."""
     k1, b = CFG.bm25.k1, CFG.bm25.b
     # SmallFloat-style 4-bit-mantissa doclen quantization — identical
     # integer shifts to the engine (bm25.quantize_doclen_col)
@@ -125,11 +129,15 @@ def _sql_bm25_scored_cte(
         if quantize
         else "d.doclen"
     )
-    flt = (
-        f"WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
-        if doc_filter
-        else ""
-    )
+    clauses = []
+    if doc_filter:
+        clauses.append(f"p.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})")
+    if exclude_terms:
+        terms = ", ".join("'{}'".format(t.replace("'", "''")) for t in exclude_terms)
+        clauses.append(
+            f"p.doc_id NOT IN (SELECT doc_id FROM postings WHERE term IN ({terms}))"
+        )
+    flt = ("WHERE " + " AND ".join(clauses)) if clauses else ""
     if qterms_cte is None:
         qterms_cte = f"""qraw AS (SELECT * FROM {queries_sql_values()}),
 qtoks AS (
@@ -160,9 +168,14 @@ scored AS (
 )"""
 
 
-def _sql_bm25(k: int = DEFAULT_K, quantize: bool = False, doc_filter: str | None = None) -> str:
+def _sql_bm25(
+    k: int = DEFAULT_K,
+    quantize: bool = False,
+    doc_filter: str | None = None,
+    exclude_terms: list[str] | None = None,
+) -> str:
     return f"""
-{_sql_bm25_scored_cte(quantize=quantize, doc_filter=doc_filter)},
+{_sql_bm25_scored_cte(quantize=quantize, doc_filter=doc_filter, exclude_terms=exclude_terms)},
 ranked AS (
   SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
@@ -180,6 +193,11 @@ SQL_BM25_TOPK_QUANTIZED = _sql_bm25(quantize=True)
 _FILTER_SOURCES = [f"src{i}" for i in range(10)]
 _FILTER_SQL = "source IN (" + ", ".join(f"'{x}'" for x in _FILTER_SOURCES) + ")"
 SQL_BM25_FILTERED_TOPK = _sql_bm25(doc_filter=_FILTER_SQL)
+
+#: bool.must_not exclusion terms: one rare ('dup', also a must term of
+#: q-0008 — the scored-term-is-excluded edge case) + one common ('slow')
+_MUSTNOT_TERMS = ["dup", "slow"]
+SQL_BM25_NOT_TOPK = _sql_bm25(exclude_terms=_MUSTNOT_TERMS)
 
 
 def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +219,26 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk_naive(
         posts_f, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG,
     )
+
+
+def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool.must_not`` parity: relevance-scored top-k where every
+    doc containing ANY exclusion term is dropped from the candidate
+    set. ES semantics preserved exactly: must_not runs in filter
+    context — it restricts candidates, never relevance weights (df,
+    avgdl, N stay index-wide). The exclusion doc-id set is an anti-join
+    against the postings of the excluded terms; no broadcast hint — a
+    must_not on a hot term yields a huge id set, and AQE picks the
+    right (shuffled vs broadcast) anti-join per actual size."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    excl = (
+        posts.filter(F.col("term").isin(_MUSTNOT_TERMS)).select("doc_id").distinct()
+    )
+    posts_f = posts.join(excl, "doc_id", "left_anti")
+    return bm25.bm25_topk_naive(posts_f, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
 
 
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1996,6 +2034,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_payload_decompress": q_payload_decompress,
     "q_streaming_postings": q_streaming_postings,
     "q_bm25_filtered_topk": q_bm25_filtered_topk,
+    "q_bm25_not_topk": q_bm25_not_topk,
     "q_search_fetch": q_search_fetch,
     "q_highlight_positions": q_highlight_positions,
     "q_bm25_topk_page2": q_bm25_topk_page2,
@@ -2053,6 +2092,7 @@ ORACLE_SQL: dict[str, str] = {
     # carried through the streaming path)
     "q_streaming_postings": SQL_POSTINGS_TF,
     "q_bm25_filtered_topk": SQL_BM25_FILTERED_TOPK,
+    "q_bm25_not_topk": SQL_BM25_NOT_TOPK,
     "q_search_fetch": SQL_SEARCH_FETCH,
     "q_highlight_positions": SQL_HIGHLIGHT_POSITIONS.replace("{QV}", queries_sql_values()),
     "q_bm25_topk_page2": SQL_BM25_TOPK_PAGE2,
