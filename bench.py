@@ -528,6 +528,22 @@ def main() -> None:
     thr_small = n_turns / dt_small
     thr_big = n_turns / dt_big
     eff = med(eff_pairs)
+    eff_source = "this_run_clean_pairs" if g else "this_run_ALL_pairs_DEGRADED"
+    if not g:
+        # zero control-clean pairs this invocation (the host can hold a
+        # degraded phase for hours): the metric is DEFINED as the median
+        # over control-clean pairs, so extend the SAME gate across
+        # invocations via the ledger (identical code path, corpus and
+        # cores; every entry control-gated at measure time). This run's
+        # degraded pairs stay published above; the source label says
+        # exactly what the headline is.
+        ledger = _ledger_history(N_SMALL, N_BIG, n_turns)
+        if ledger:
+            eff = ledger["scaling_efficiency_clean_history"]
+            eff_source = (
+                f"clean_pair_ledger[n={ledger['clean_pair_history_n']}] "
+                "(this invocation measured 0 control-clean pairs)"
+            )
     ctl_eff = med(pair_ctl_effs)
     results["build"] = {
         "turns": n_turns,
@@ -548,6 +564,7 @@ def main() -> None:
         "pair_control_efficiencies": [round(x, 3) for x in pair_ctl_effs],
         "pair_normalized_efficiencies": [round(x, 3) for x in pair_norm],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_source": eff_source,
         # noise on this host is strictly ADDITIVE (steal/fault stalls
         # only ever slow a run down), so the min over repeated runs at
         # each level is the tightest estimate of the engine's true
