@@ -291,7 +291,7 @@ def make_block_builder(cfg: EngineConfig, avgdl: float):
     compaction/rebuild path, where input is already aggregated postings,
     optionally with a ``positions`` list column to preserve)."""
 
-    def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_blocks(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..session import ensure_worker_arena
 
         ensure_worker_arena()  # once per worker: batch the heap faults
@@ -351,7 +351,7 @@ def make_range_builder(cfg: EngineConfig, avgdl: float):
     """
     from ..functions.analyze import tokenize_arrow
 
-    def build_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..session import ensure_worker_arena
 
         ensure_worker_arena()  # once per worker: batch the heap faults

@@ -52,7 +52,7 @@ PHRASE_INPUT_COLS = [
 
 
 def make_phrase_evaluator(k: int, k1: float, b: float, avgdl: float, m_by_query: dict):
-    def evaluate(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def evaluate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = key[0]
         m = int(m_by_query[query_id])
         if len(pdf) == 0:

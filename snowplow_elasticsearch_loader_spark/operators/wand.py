@@ -94,7 +94,7 @@ def make_wand_evaluator(k: int, k1: float, b: float, avgdl: float, quantize: boo
     def _dl(v: np.ndarray) -> np.ndarray:
         return quantize_doclen_np(v) if quantize else v.astype(np.float64)
 
-    def evaluate(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def evaluate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = key[0]
         if len(pdf) == 0:
             return _empty_result()
