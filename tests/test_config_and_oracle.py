@@ -325,3 +325,28 @@ def test_iceberg_branch_builds_correct_reader(monkeypatch):
     TBL.load_table(FakeSpark(), "/data/sf1", "events", fmt="iceberg")
     assert calls["format"] == "iceberg" and "options" not in calls
     assert calls["load"] == "/data/sf1/events"
+
+
+def test_must_not_excludes_every_matching_doc(spark, sf_tiny):
+    """bool.must_not semantics: no returned hit may contain ANY
+    exclusion term, and scores must match the unfiltered ranking for
+    the surviving docs (filter context never changes weights)."""
+    from pyspark.sql import functions as F
+
+    from snowplow_elasticsearch_loader_spark import contract
+    from snowplow_elasticsearch_loader_spark.operators import postings as P
+
+    hits = contract.q_bm25_not_topk(spark, sf_tiny)
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    posts = P.build_postings(docs)
+    excluded = (
+        posts.filter(F.col("term").isin(contract._MUSTNOT_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    assert hits.join(excluded, "doc_id").count() == 0
+    # surviving (query, doc) scores equal the unfiltered full ranking's
+    full = contract.q_bm25_topk(spark, sf_tiny).withColumnRenamed("score", "s_full")
+    joined = hits.join(full.select("query_id", "doc_id", "s_full"), ["query_id", "doc_id"])
+    bad = joined.filter(F.abs(F.col("score") - F.col("s_full")) > 1e-9).count()
+    assert bad == 0
