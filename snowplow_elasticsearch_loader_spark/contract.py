@@ -779,6 +779,308 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 """
 
 
+#: wildcard infix fragments (ES ``wildcard: {field: "*frag*"}``) —
+#: multi-term fragments that each expand to several dictionary terms
+_WILDCARDS = ["or", "ta", "ue"]
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard-query parity (``*frag*``) with the constant-score
+    multi-term rewrite (same rewrite ES applies to wildcard by
+    default): every dictionary term CONTAINING the fragment matches;
+    a doc's score is its count of distinct matching terms; top-10 per
+    fragment, ties doc_id asc. The expansion is a contains() filter on
+    the term dictionary — the full-dictionary scan is exactly what ES
+    pays for a leading-wildcard pattern (no prefix seek possible), and
+    the dictionary is the metadata-sized relation here, never the
+    postings. Expanded terms broadcast into a term-pushed postings
+    join, mirroring q_prefix_topk."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ts = P.term_stats(posts)
+    exp = None
+    for frag in _WILDCARDS:
+        e = ts.filter(F.col("term").contains(frag)).select(
+            F.lit(frag).alias("pattern"), "term"
+        )
+        exp = e if exp is None else exp.union(e)
+    scored = (
+        posts.select("term", "doc_id")
+        .join(F.broadcast(exp), "term")
+        .groupBy("pattern", "doc_id")
+        .agg(F.countDistinct("term").alias("score"))
+    )
+    w = Window.partitionBy("pattern").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("pattern", "rank", "doc_id", F.col("score").cast("long").alias("score"))
+    )
+
+
+SQL_WILDCARD_TOPK = f"""
+WITH {_DUCK_TOKS},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+pat(pattern) AS (VALUES {", ".join(f"('{p}')" for p in _WILDCARDS)}),
+matches AS (
+  SELECT p.pattern, t.doc_id, CAST(count(DISTINCT t.term) AS BIGINT) AS score
+  FROM dterms t JOIN pat p ON t.term LIKE '%' || p.pattern || '%'
+  GROUP BY p.pattern, t.doc_id
+),
+ranked AS (
+  SELECT pattern, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY pattern ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM matches
+)
+SELECT pattern, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: bool.should minimum_should_match clause count
+_MSM = 2
+
+
+def q_min_should_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool.should`` + ``minimum_should_match: 2`` parity: a doc
+    is a candidate only when it contains >= 2 DISTINCT query terms;
+    candidates keep their full BM25 score over the terms they match.
+    The matched-clause count rides the same per-(query, doc)
+    aggregation that accumulates the score — msm costs zero extra
+    shuffles over the OR query. Accumulation order stays the engine's
+    fixed sort-by-term fold so scores are bit-identical to the other
+    BM25 paths."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    posts_q = posts.filter(F.col("term").isin(qterm_list))
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    cand = posts_q.join(F.broadcast(qterms), "term").join(ds, "doc_id")
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        cand.select("query_id", "doc_id", "term", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+            F.countDistinct("term").alias("_nt"),
+        )
+        .filter(F.col("_nt") >= _MSM)
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]).alias(
+                "score"
+            ),
+        )
+    )
+    return bm25.topk(scored, DEFAULT_K)
+
+
+SQL_MIN_SHOULD_MATCH_TOPK = f"""
+{_sql_bm25_scored_cte()},
+msm AS (
+  SELECT query_id, doc_id FROM contribs
+  GROUP BY query_id, doc_id HAVING count(DISTINCT term) >= {_MSM}
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scored s JOIN msm USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: top_hits sub-aggregation size (hits kept per bucket)
+_TOP_HITS_PER_BUCKET = 3
+
+
+def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` agg + ``top_hits`` sub-agg parity: for each query,
+    bucket matching docs by ``lang`` and keep each bucket's top-3 hits
+    by full BM25 score (collapse generalized from 1 to N per group).
+    Scores are quantized to 6 places before the bucket window so engine
+    and oracle break ties identically; the bucket rank is a window over
+    (query, lang) — the per-bucket heap ES's top_hits collector keeps."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    posts_q = posts.filter(F.col("term").isin(qterm_list))
+    scored = bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    wg = Window.partitionBy("query_id", "lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("hit_rank", F.row_number().over(wg).cast("int"))
+        .filter(F.col("hit_rank") <= _TOP_HITS_PER_BUCKET)
+        .select("query_id", "lang", "hit_rank", "doc_id", "score")
+    )
+
+
+SQL_TOP_HITS_AGG = f"""
+{_sql_bm25_scored_cte()},
+grouped AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id, d.lang ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS hit_rank
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT query_id, lang, hit_rank, doc_id, score FROM grouped
+WHERE hit_rank <= {_TOP_HITS_PER_BUCKET}
+"""
+
+
+#: term-suggester probes (misspellings a user would type) and knobs
+_SUGGEST_PROBES = ["quer", "bath", "stram"]
+_SUGGEST_MAX_EDITS = 2   # ES term suggester max_edits (its maximum)
+_SUGGEST_SIZE = 5        # suggestions returned per probe
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-suggester parity ("did you mean"): for each probe, the
+    top-5 dictionary terms within Levenshtein distance 2, ranked by
+    popularity (df desc, term asc — ES ``sort: frequency``). The
+    length-band predicate (abs length diff <= max_edits, a necessary
+    condition for edit distance) runs BEFORE the Levenshtein so the
+    expensive comparison touches only the band — the FST-walk pruning
+    ES's suggester gets for free, expressed relationally. The scan is
+    dictionary-sized; postings are never touched."""
+    docs = _docs(spark, sf_dir)
+    ts = P.term_stats(P.build_postings(docs))
+    probes = literal_df(spark, [(p,) for p in _SUGGEST_PROBES], "probe string")
+    cond = (
+        F.abs(F.length("term") - F.length("probe")) <= _SUGGEST_MAX_EDITS
+    ) & (F.levenshtein(F.col("term"), F.col("probe")) <= _SUGGEST_MAX_EDITS)
+    matched = ts.join(F.broadcast(probes), cond).select(
+        "probe", "term", F.col("df").cast("long").alias("df")
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SUGGEST_SIZE)
+        .select("probe", "rank", "term", "df")
+    )
+
+
+SQL_TERM_SUGGEST = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+probes(probe) AS (VALUES {", ".join(f"('{p}')" for p in _SUGGEST_PROBES)}),
+matched AS (
+  SELECT p.probe, t.term, t.df
+  FROM tstats t JOIN probes p
+    ON abs(length(t.term) - length(p.probe)) <= {_SUGGEST_MAX_EDITS}
+   AND levenshtein(t.term, p.probe) <= {_SUGGEST_MAX_EDITS}
+),
+ranked AS (
+  SELECT probe, term, df,
+         CAST(row_number() OVER (PARTITION BY probe ORDER BY df DESC, term ASC) AS INT) AS rank
+  FROM matched
+)
+SELECT probe, rank, term, df FROM ranked WHERE rank <= {_SUGGEST_SIZE}
+"""
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` aggregation parity (calendar_interval:
+    day) with sub-aggregations per bucket: value_count, sum, and an
+    exact ``cardinality`` of users. All three are one map-side-partial
+    hash aggregation over the events scan; the bucket key is a
+    truncation, not a join, so the plan is scan -> partial agg ->
+    single exchange on day — the shape that holds at 100 TB. At that
+    scale the exact distinct is the one term that grows a second
+    exchange; production swaps it for approx_count_distinct (HLL++,
+    still one pass) — the estimator-vs-exact bound is asserted in
+    tests/test_entry_contract.py."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY 1
+"""
+
+
+def q_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation parity: distinct users per event
+    type. Exact here (count_distinct) so the oracle can hash-match; ES
+    itself answers this with HLL++ and so does the engine's scale path
+    (approx_count_distinct — same sketch family), whose error bound vs
+    this exact query is asserted in tests/test_entry_contract.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("unique_users")
+    )
+
+
+SQL_CARDINALITY_AGG = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY event_type
+"""
+
+
+#: range-aggregation bucket edges over events.value (ES ``range`` agg)
+_RANGE_EDGES = [10.0, 100.0]
+
+
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation parity over a numeric field: per-bucket
+    doc count and sum. Buckets follow ES's [from, to) convention with
+    open first/last buckets. A CASE expression, not a join — the
+    bucketing stays inside the scan's whole-stage codegen."""
+    lo, hi = _RANGE_EDGES
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < lo, F.lit(f"*-{lo}"))
+        .when(F.col("value") < hi, F.lit(f"{lo}-{hi}"))
+        .otherwise(F.lit(f"{hi}-*"))
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_RANGE_AGG = f"""
+SELECT CASE WHEN value < {_RANGE_EDGES[0]} THEN '*-{_RANGE_EDGES[0]}'
+            WHEN value < {_RANGE_EDGES[1]} THEN '{_RANGE_EDGES[0]}-{_RANGE_EDGES[1]}'
+            ELSE '{_RANGE_EDGES[1]}-*' END AS bucket,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with Lucene SmallFloat-style quantized doclen norms
     (SURVEY §7-hard #1): same plan as q_bm25_topk, doclen floor-
@@ -2046,6 +2348,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_topk": q_fuzzy_topk,
     "q_explain_scores": q_explain_scores,
     "q_mlt_topk": q_mlt_topk,
+    "q_wildcard_topk": q_wildcard_topk,
+    "q_min_should_match_topk": q_min_should_match_topk,
+    "q_top_hits_agg": q_top_hits_agg,
+    "q_term_suggest": q_term_suggest,
+    "q_date_histogram": q_date_histogram,
+    "q_cardinality_agg": q_cardinality_agg,
+    "q_range_agg": q_range_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -2104,4 +2413,11 @@ ORACLE_SQL: dict[str, str] = {
     "q_fuzzy_topk": SQL_FUZZY_TOPK,
     "q_explain_scores": SQL_EXPLAIN_SCORES,
     "q_mlt_topk": SQL_MLT_TOPK,
+    "q_wildcard_topk": SQL_WILDCARD_TOPK,
+    "q_min_should_match_topk": SQL_MIN_SHOULD_MATCH_TOPK,
+    "q_top_hits_agg": SQL_TOP_HITS_AGG,
+    "q_term_suggest": SQL_TERM_SUGGEST,
+    "q_date_histogram": SQL_DATE_HISTOGRAM,
+    "q_cardinality_agg": SQL_CARDINALITY_AGG,
+    "q_range_agg": SQL_RANGE_AGG,
 }

@@ -35,3 +35,30 @@ def test_query_vs_duckdb(spark, sf_tiny, name):
     oracle = con.execute(ORACLES[name]).fetchdf()
     got = QUERIES[name](spark, sf_tiny)
     compare(got, oracle, name)
+
+
+def test_cardinality_hll_estimate_within_bound(spark, sf_tiny):
+    """The scale path for the cardinality agg is approx_count_distinct
+    (HLL++, rsd default 0.05). Assert the estimator tracks the exact
+    per-group cardinality well inside 5 sigma of its configured rsd on
+    every bucket — the contract that lets a deployment swap it in."""
+    from pyspark.sql import functions as F
+
+    from snowplow_elasticsearch_loader_spark.sources import load_table
+
+    ev = load_table(spark, sf_tiny, "events")
+    rsd = 0.05
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd).alias("est"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        exact, est = int(r["exact"]), int(r["est"])
+        assert abs(est - exact) <= max(5, 5 * rsd * exact), (
+            f"{r['event_type']}: HLL estimate {est} vs exact {exact}"
+        )
