@@ -1081,6 +1081,176 @@ FROM events GROUP BY 1
 """
 
 
+#: span_near probes: (query_id, first term, second term, slop) —
+#: in-order proximity with at most ``slop`` tokens between the two
+_SPAN_QUERIES = [
+    ("span-1", "hash", "join", 2),
+    ("span-2", "sort", "merge", 3),
+    ("span-3", "group", "key", 1),
+]
+
+
+def q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_near`` / sloppy-phrase parity (in_order=true): a doc
+    matches when the second term occurs AFTER the first with at most
+    ``slop`` tokens between them; matches are ranked by BM25 over the
+    two span terms (the same scoring contract q_phrase_topk fixes for
+    positional queries). Everything is answered FROM THE POSITIONAL
+    INDEX: the pair join touches only the two terms' postings (term-
+    pushed), and proximity is an ``exists`` over the two position
+    arrays — JVM higher-order functions, O(tf_a * tf_b) per candidate
+    doc, never a corpus re-tokenize. Proximity uses position
+    DIFFERENCES, so the index's 0-based positions and the oracle's
+    1-based subscripts agree without adjustment. The two BM25
+    contributions are added pairwise (IEEE addition is commutative, so
+    no accumulation-order fix is needed for exactly two terms)."""
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    posts = idx.postings()
+    spans = literal_df(
+        spark, _SPAN_QUERIES, "query_id string, t1 string, t2 string, slop int"
+    )
+    span_terms = sorted({t for _, t1, t2, _ in _SPAN_QUERIES for t in (t1, t2)})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in idx.termdict.filter(F.col("term").isin(span_terms)).collect()
+    }
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+
+    def _contrib(tf_col: str, w: Column) -> Column:
+        return (
+            w
+            * (F.col(tf_col).cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+
+    idf_map = F.create_map(
+        *[x for t in span_terms for x in (F.lit(t), F.lit(bm25.idf(n_docs, dfs.get(t, 0))))]
+    )
+    p1 = posts.filter(F.col("term").isin(span_terms)).select(
+        F.col("term").alias("t1"),
+        "doc_id",
+        F.col("tf").alias("tf1"),
+        "doclen",
+        F.col("positions").alias("pa"),
+    )
+    p2 = posts.filter(F.col("term").isin(span_terms)).select(
+        F.col("term").alias("t2"),
+        "doc_id",
+        F.col("tf").alias("tf2"),
+        F.col("positions").alias("pb"),
+    )
+    cand = p1.join(F.broadcast(spans), "t1").join(p2, ["t2", "doc_id"])
+    slop = F.col("slop").cast("long")
+    matched = cand.filter(
+        F.exists(
+            "pa",
+            lambda a: F.exists("pb", lambda bp: (bp > a) & ((bp - a - F.lit(1)) <= slop)),
+        )
+    )
+    scored = matched.select(
+        "query_id",
+        "doc_id",
+        F.round(
+            _contrib("tf1", idf_map[F.col("t1")]) + _contrib("tf2", idf_map[F.col("t2")]),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_span_near() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(f"('{q}', '{t1}', '{t2}', {s})" for q, t1, t2, s in _SPAN_QUERIES)
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+spans(query_id, t1, t2, slop) AS (VALUES {rows}),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT s.query_id, a.doc_id
+  FROM spans s
+  JOIN posns a ON a.term = s.t1
+  JOIN posns b ON b.doc_id = a.doc_id AND b.term = s.t2
+   AND b.pos > a.pos AND b.pos - a.pos - 1 <= s.slop
+),
+qterms AS (
+  SELECT query_id, t1 AS term FROM spans UNION ALL SELECT query_id, t2 FROM spans
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT m.query_id, m.doc_id, round(sum(cb.contrib), 6) AS score
+  FROM matched m JOIN contribs cb ON cb.query_id = m.query_id AND cb.doc_id = m.doc_id
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPAN_NEAR_TOPK = _sql_span_near()
+
+
+#: percentile points for the percentiles aggregation
+_PCTS = [0.5, 0.95, 0.99]
+
+
+def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation parity over a numeric field.
+    Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) so the oracle hash-matches; ES itself and
+    the engine's scale path use a mergeable sketch
+    (``percentile_approx`` / t-digest family) — exact percentile is a
+    full sort per group, the sketch is one pass + tiny merge, which is
+    the swap a 100 TB deployment makes."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in _PCTS
+        ]
+    )
+
+
+SQL_PERCENTILES_AGG = f"""
+SELECT event_type,
+       {", ".join(f"round(quantile_cont(value, {p}), 6) AS p{int(p * 100)}" for p in _PCTS)}
+FROM events GROUP BY event_type
+"""
+
+
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with Lucene SmallFloat-style quantized doclen norms
     (SURVEY §7-hard #1): same plan as q_bm25_topk, doclen floor-
@@ -2355,6 +2525,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_date_histogram": q_date_histogram,
     "q_cardinality_agg": q_cardinality_agg,
     "q_range_agg": q_range_agg,
+    "q_span_near_topk": q_span_near_topk,
+    "q_percentiles_agg": q_percentiles_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -2420,4 +2592,6 @@ ORACLE_SQL: dict[str, str] = {
     "q_date_histogram": SQL_DATE_HISTOGRAM,
     "q_cardinality_agg": SQL_CARDINALITY_AGG,
     "q_range_agg": SQL_RANGE_AGG,
+    "q_span_near_topk": SQL_SPAN_NEAR_TOPK,
+    "q_percentiles_agg": SQL_PERCENTILES_AGG,
 }
