@@ -1471,6 +1471,44 @@ def _physical_index(spark: SparkSession, sf_dir: str):
     return _IDX_CACHE[key]
 
 
+#: delete_by_query probe term ('dup' is rare — a selective delete set)
+_DELETE_TERMS = ["dup"]
+
+
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_delete_by_query`` parity end-to-end: build an index,
+    delete every doc containing 'dup' (term-pushed match, tombstones),
+    then ``compact_index`` — the merge that physically expunges the
+    tombstones from blocks/termdict/doc store and restates corpus
+    stats. Returns the decoded postings of the compacted index; the
+    oracle is the relational postings of the corpus MINUS the matching
+    docs, so a hash match proves both the delete semantics and that
+    the expunged index round-trips exactly."""
+    import tempfile
+
+    from .index_store import build_blocks_only, compact_index, delete_by_query
+
+    key = ("del", sf_dir)
+    if key not in _IDX_CACHE:
+        _physical_index(spark, sf_dir)  # ensures _IDX_CFG
+        path = tempfile.mkdtemp(prefix="engine-contract-del-")
+        idx = build_blocks_only(spark, _docs(spark, sf_dir), path, _IDX_CFG)
+        delete_by_query(idx, _DELETE_TERMS)
+        _IDX_CACHE[key] = compact_index(idx)
+    return _IDX_CACHE[key].postings().select("term", "doc_id", "tf")
+
+
+SQL_DELETE_BY_QUERY = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+deldocs AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in _DELETE_TERMS)})
+)
+SELECT term, doc_id, tf FROM postings
+WHERE doc_id NOT IN (SELECT doc_id FROM deldocs)
+"""
+
+
 def q_postings_blocks_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the delta-gap+varint blocks back to logical postings; the
     oracle is the same SQL as q_postings_tf (M2 invariant)."""
@@ -2527,6 +2565,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_agg": q_range_agg,
     "q_span_near_topk": q_span_near_topk,
     "q_percentiles_agg": q_percentiles_agg,
+    "q_delete_by_query": q_delete_by_query,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -2594,4 +2633,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_range_agg": SQL_RANGE_AGG,
     "q_span_near_topk": SQL_SPAN_NEAR_TOPK,
     "q_percentiles_agg": SQL_PERCENTILES_AGG,
+    "q_delete_by_query": SQL_DELETE_BY_QUERY,
 }

@@ -73,8 +73,15 @@ def resolve_table_dir(index_dir: str, name: str) -> str:
     possibly-compacted index (streaming) MUST resolve through this too:
     writing to the base ``blocks/`` dir after a compaction has retired
     it would make the new blocks invisible to readers and eligible for
-    the next compaction's grace-period GC (ADVICE r3)."""
-    if name in ("blocks", "termdict"):
+    the next compaction's grace-period GC (ADVICE r3).
+
+    ``documents``/``docstats``/``corpus``/``_deletes`` joined the
+    resolved set when compaction learned to expunge delete-by-query
+    tombstones: the doc store and corpus stats are rewritten into
+    versioned dirs on expunge, and the tombstone dir itself is
+    versioned so deletes issued AFTER an expunge never land in a dir
+    already parked on the grace-GC retired list."""
+    if name in ("blocks", "termdict", "documents", "docstats", "corpus", "_deletes"):
         man = os.path.join(index_dir, "_manifest.json")
         if os.path.exists(man):
             with open(man) as fh:
@@ -149,7 +156,7 @@ class InvertedIndex:
         return self._t("docstats")
 
     def corpus(self) -> tuple[int, float]:
-        target = os.path.join(self.path, "corpus")
+        target = self._resolve("corpus")
         if _is_local(target):
             import glob
 
@@ -174,9 +181,48 @@ class InvertedIndex:
     def metrics(self) -> DataFrame:
         return self._t("_metrics")
 
+    def deleted_ids(self) -> DataFrame | None:
+        """Tombstoned doc ids from delete_by_query (``_deletes``
+        pointer, manifest-resolved), or None when the index has none —
+        the None fast path keeps tombstone-free reads plan-identical
+        to an index that never saw a delete."""
+        d = self._resolve("_deletes")
+        if _is_local(d):
+            import glob
+
+            if not glob.glob(os.path.join(d, "*.parquet")) and not glob.glob(
+                os.path.join(d, "*", "*.parquet")
+            ):
+                return None
+            return self.spark.read.parquet(d)
+        try:
+            return self.spark.read.parquet(d)
+        except Exception:
+            return None
+
+    def has_tombstones(self) -> bool:
+        return self.deleted_ids() is not None
+
+    def live_documents(self) -> DataFrame:
+        """Doc store minus tombstones — the fetch-phase surface. Like
+        Lucene, the stored rows of deleted docs remain on disk until a
+        merge (compact_index) expunges them."""
+        docs = self.documents
+        dels = self.deleted_ids()
+        if dels is not None:
+            docs = docs.join(dels.select("doc_id"), "doc_id", "left_anti")
+        return docs
+
     def postings(self) -> DataFrame:
-        """Decoded logical postings view (M2 invariant surface)."""
-        return index_build.decode_blocks(self.blocks)
+        """Decoded logical postings view (M2 invariant surface), with
+        delete-by-query tombstones applied (ES semantics: deleted docs
+        leave search results immediately, even though their postings
+        stay physically present until the next merge)."""
+        decoded = index_build.decode_blocks(self.blocks)
+        dels = self.deleted_ids()
+        if dels is not None:
+            decoded = decoded.join(dels.select("doc_id"), "doc_id", "left_anti")
+        return decoded
 
 
 def _is_local(path: str) -> bool:
@@ -239,10 +285,18 @@ def _append(spark: SparkSession, path: str, rows: list, schema: T.StructType) ->
 
 def _write_corpus(spark: SparkSession, path: str, n_docs: int, avgdl: float) -> None:
     """Overwrite the singleton corpus-stats table (same fast path)."""
-    target = os.path.join(path, "corpus")
+    target = resolve_table_dir(path, "corpus")
     schema = T.StructType(
         [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
     )
+    _write_corpus_to(spark, target, n_docs, avgdl, schema)
+
+
+def _write_corpus_to(spark, target: str, n_docs: int, avgdl: float, schema=None) -> None:
+    if schema is None:
+        schema = T.StructType(
+            [T.StructField("n_docs", T.LongType()), T.StructField("avgdl", T.DoubleType())]
+        )
     if _is_local(target):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -319,6 +373,49 @@ def build_blocks_only(
     return idx
 
 
+def delete_by_query(idx: InvertedIndex, terms: list[str]) -> int:
+    """ES ``_delete_by_query`` parity (term query) with Lucene
+    tombstone semantics: docs containing ANY of ``terms`` stop
+    matching searches immediately, but their postings, stored rows,
+    and the index-wide statistics (df, N, avgdl) remain physically
+    unchanged until the next merge — ``compact_index`` is the merge
+    and expunges them.
+
+    Matching is term-pushed: only the queried terms' postings are
+    decoded (tombstones already present are filtered by ``postings()``
+    first, so re-issuing the same delete appends nothing and the op is
+    idempotent). Tombstones are appended under the manifest-resolved
+    ``_deletes`` pointer — versioned on expunge so late deletes never
+    land in a dir parked for grace-period GC.
+
+    Serving-session note: ``QueryEngine`` refuses an index with live
+    tombstones (it scans raw blocks for latency and would resurface
+    deleted docs); run ``compact_index`` before re-opening a serving
+    session, exactly like an ES force-merge after a bulk delete.
+
+    Returns the number of NEWLY deleted docs."""
+    spark = idx.spark
+    matched = (
+        idx.postings()
+        .filter(F.col("term").isin(list(terms)))
+        .select("doc_id")
+        .distinct()
+    )
+    obs = Observation("deletes")
+    target = resolve_table_dir(idx.path, "_deletes")
+    matched.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+        target
+    )
+    n = int(obs.get["n"])
+    _append(
+        spark,
+        os.path.join(idx.path, "_metrics"),
+        [("docs_deleted", n, "delete_by_query", time.time())],
+        METRICS_SCHEMA,
+    )
+    return n
+
+
 def compact_index(
     idx: InvertedIndex,
     cfg: EngineConfig | None = None,
@@ -341,6 +438,15 @@ def compact_index(
     timestamp and physically removed only by a later compaction once
     they've been retired for ``gc_grace_sec`` (the Iceberg
     snapshot-expiry analog: flip now, expire later).
+
+    When the index carries delete-by-query tombstones, compaction is
+    also the merge that EXPUNGES them (Lucene semantics): the rebuilt
+    blocks/termdict contain only live postings (``idx.postings()`` is
+    already tombstone-filtered), the doc store (and streamed docstats)
+    are rewritten live-only into versioned dirs, corpus stats are
+    restated over the live docs, and the tombstone dir itself is
+    retired — all behind the same single manifest flip, so a crash at
+    any point still leaves a consistent index.
     """
     cfg = (cfg or idx.cfg).validate()
     spark = idx.spark
@@ -354,7 +460,8 @@ def compact_index(
             cur = json.load(fh)
     v = int(cur.get("version", 0)) + 1
     new_blocks, new_td = f"blocks_v{v}", f"termdict_v{v}"
-    decoded = index_build.decode_blocks(idx.blocks)
+    expunging = idx.has_tombstones()
+    decoded = idx.postings()  # tombstone-filtered: the merge drops deletes
     index_build.rebuild_blocks_from_postings(decoded, avgdl, cfg).write.mode(
         "overwrite"
     ).partitionBy("term_bucket", "range_id").parquet(os.path.join(idx.path, new_blocks))
@@ -362,22 +469,69 @@ def compact_index(
     index_build.termdict_from_blocks(staged).write.mode("overwrite").parquet(
         os.path.join(idx.path, new_td)
     )
+    new_ptrs = {"blocks": new_blocks, "termdict": new_td}
+    extra_retired: list[str] = []
+    if expunging:
+        live = idx.live_documents()
+        part_cols = [c for c in ("batch_seg", "shard_date") if c in live.columns]
+        new_docs = f"documents_v{v}"
+        wr = live.write.mode("overwrite")
+        if part_cols:
+            wr = wr.partitionBy(*part_cols)
+        wr.parquet(os.path.join(idx.path, new_docs))
+        new_ptrs["documents"] = new_docs
+        extra_retired.append(cur.get("documents", "documents"))
+        # streamed layout keeps a dedicated docstats dir; rewrite live
+        ds_dir = resolve_table_dir(idx.path, "docstats")
+        if (_is_local(ds_dir) and os.path.isdir(ds_dir)) or not _is_local(ds_dir):
+            try:
+                ds = spark.read.parquet(ds_dir)
+            except Exception:
+                ds = None
+            if ds is not None:
+                dels = idx.deleted_ids()
+                live_ds = ds.join(dels.select("doc_id"), "doc_id", "left_anti")
+                new_dstats = f"docstats_v{v}"
+                wds = live_ds.write.mode("overwrite")
+                if "batch_seg" in ds.columns:
+                    wds = wds.partitionBy("batch_seg")
+                wds.parquet(os.path.join(idx.path, new_dstats))
+                new_ptrs["docstats"] = new_dstats
+                extra_retired.append(cur.get("docstats", "docstats"))
+        # corpus stats restated over live docs (ES: N/avgdl shrink at merge)
+        lrow = live.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+        ).collect()[0]
+        n_live = int(lrow["n"] or 0)
+        avgdl_live = float(lrow["s"] or 0) / float(n_live) if n_live else 0.0
+        new_corpus = f"corpus_v{v}"
+        _write_corpus_to(spark, os.path.join(idx.path, new_corpus), n_live, avgdl_live)
+        new_ptrs["corpus"] = new_corpus
+        extra_retired.append(cur.get("corpus", "corpus"))
+        # version the tombstone pointer: the retired dir stays readable
+        # through the grace window; NEW deletes go to the fresh pointer
+        new_ptrs["_deletes"] = f"_deletes_v{v}"
+        extra_retired.append(cur.get("_deletes", "_deletes"))
     # pointer flip: single-file replace — the local-FS analog of an
     # atomic object PUT; no directory rename anywhere in the commit path
     now = time.time()
     retired = list(cur.get("retired", []))
     retired.append(
-        {"dirs": [cur.get("blocks", "blocks"), cur.get("termdict", "termdict")], "ts": now}
+        {
+            "dirs": [cur.get("blocks", "blocks"), cur.get("termdict", "termdict")]
+            + extra_retired,
+            "ts": now,
+        }
     )
     # expire only entries past the reader grace window; keep the rest
     expired = [e for e in retired if now - float(e.get("ts", now)) >= gc_grace_sec]
     retired = [e for e in retired if now - float(e.get("ts", now)) < gc_grace_sec]
+    manifest = {k: cur.get(k, k) for k in ("documents", "docstats", "corpus", "_deletes") if k in cur}
+    manifest.update(new_ptrs)
+    manifest.update({"version": v, "retired": retired})
     tmp = man_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(
-            {"blocks": new_blocks, "termdict": new_td, "version": v, "retired": retired},
-            fh,
-        )
+        json.dump(manifest, fh)
     os.replace(tmp, man_path)
     for e in expired:
         for name in e.get("dirs", []):

@@ -44,6 +44,15 @@ class QueryEngine:
         queries or when blocks >> memory (the scan is partition-pruned
         either way)."""
         self.idx = idx
+        # the serving paths scan raw blocks for latency (no per-row
+        # tombstone anti-join) and would resurface deleted docs; like
+        # an ES force-merge after _delete_by_query, compaction must
+        # expunge tombstones before a serving session opens
+        if idx.has_tombstones():
+            raise ValueError(
+                "index has delete_by_query tombstones; run compact_index "
+                "to expunge them before opening a serving QueryEngine"
+            )
         self.cfg = cfg or idx.cfg or DEFAULT_CONFIG
         self.n_docs, self.avgdl = idx.corpus()
         self.blocks = idx.blocks

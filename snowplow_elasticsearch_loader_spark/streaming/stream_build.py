@@ -83,7 +83,7 @@ def _scan_state(spark: SparkSession, index_dir: str, exclude_batch: int) -> dict
     attempt's partial writes must never shift the replay's offset
     (they'd assign different doc_ids and orphan the crashed blocks)."""
     try:
-        ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
+        ds = spark.read.parquet(resolve_table_dir(index_dir, "docstats"))
         if "batch_seg" in ds.columns:
             ds = ds.filter(F.col("batch_seg") != int(exclude_batch))
         row = ds.agg(
@@ -150,7 +150,7 @@ def process_stream_batch(
         base = _scan_state(spark, index_dir, exclude_batch=batch_id)
 
     good, bad = split_good_bad(batch_df, cfg)
-    docs_dir = os.path.join(index_dir, "documents")
+    docs_dir = resolve_table_dir(index_dir, "documents")
     if os.path.exists(docs_dir):
         prior = spark.read.parquet(docs_dir)
         # A doc store written by the BATCH build path has no batch_seg
@@ -202,9 +202,9 @@ def process_stream_batch(
     docs_w = spark.read.parquet(docs_dir).filter(F.col("batch_seg") == batch_id)
     doc_stats(docs_w).select("*", seg).write.mode("overwrite").options(**dyn).partitionBy(
         "batch_seg"
-    ).parquet(os.path.join(index_dir, "docstats"))
+    ).parquet(resolve_table_dir(index_dir, "docstats"))
     row = (
-        spark.read.parquet(os.path.join(index_dir, "docstats"))
+        spark.read.parquet(resolve_table_dir(index_dir, "docstats"))
         .filter(F.col("batch_seg") == batch_id)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s"))
         .collect()[0]
@@ -322,7 +322,7 @@ def finalize_streamed_index(
     blocks appended while the corpus (and its running avgdl) was growing
     remain exact-safe bounds under the final avgdl computed here.
     """
-    ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    ds = spark.read.parquet(resolve_table_dir(index_dir, "docstats"))
     row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
     from ..index_store import _write_corpus
 
