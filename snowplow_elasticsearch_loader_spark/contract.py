@@ -1902,9 +1902,33 @@ def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream_build import incremental_index_build
     from .index_store import InvertedIndex
 
-    key = ("stream", sf_dir)
+    return _streamed_index(spark, sf_dir, "stream").postings().select(
+        "term", "doc_id", "tf"
+    )
+
+
+#: docs_per_range of the contract's streamed indexes (the oracle for
+#: q_update_by_query derives replacement doc ids from this boundary)
+_STREAM_DPR = 250
+
+
+def _streamed_index(spark: SparkSession, sf_dir: str, tag: str):
+    """Two-micro-batch streamed index over ``documents`` (conv_id =
+    zero-padded doc_id so the stream's dense-rank ids reproduce the
+    original doc_ids), cached per (tag, sf_dir) — mutating contract
+    queries take their own tag so they never corrupt q_streaming_
+    postings' shared index."""
+    import glob
+    import os
+    import tempfile
+
+    from .config import EngineConfig, IndexConfig
+    from .streaming.stream_build import incremental_index_build
+    from .index_store import InvertedIndex
+
+    key = (tag, sf_dir)
     if key not in _IDX_CACHE:
-        dpr = 250
+        dpr = _STREAM_DPR
         cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=dpr, term_buckets=8))
         docs = _docs(spark, sf_dir)
         n = docs.count()
@@ -1931,7 +1955,68 @@ def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(src, os.path.join(in_dir, f"{bi:04d}.parquet"))
         incremental_index_build(spark, in_dir, idx_dir, cp_dir, cfg, available_now=True)
         _IDX_CACHE[key] = InvertedIndex(spark, idx_dir, cfg)
+    return _IDX_CACHE[key]
+
+
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_update_by_query`` parity end-to-end over a STREAMED index:
+    docs containing 'dup' get their old version tombstoned and a
+    rewritten version (text || ' upd', same natural key) indexed as a
+    fresh streaming segment; ``compact_index`` then expunges the old
+    versions. Returns the decoded postings of the compacted index. The
+    oracle recomputes the whole story relationally — unmatched docs
+    keep their ids, replacements take ids from the next docs_per_range
+    boundary in natural-key order (the stream's documented id
+    contract) with the transformed text."""
+    from .index_store import compact_index
+    from .streaming.stream_build import update_by_query
+
+    key = ("upd-done", sf_dir)
+    if key not in _IDX_CACHE:
+        idx = _streamed_index(spark, sf_dir, "upd")
+        update_by_query(
+            spark,
+            idx.path,
+            _DELETE_TERMS,
+            lambda c: F.concat(c, F.lit(" upd")),
+            idx.cfg,
+        )
+        _IDX_CACHE[key] = compact_index(idx)
     return _IDX_CACHE[key].postings().select("term", "doc_id", "tf")
+
+
+SQL_UPDATE_BY_QUERY = f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term FROM documents
+),
+deldocs AS (
+  SELECT DISTINCT doc_id FROM toks0
+  WHERE term IN ({", ".join(f"'{t}'" for t in _DELETE_TERMS)})
+),
+off AS (
+  SELECT CAST(ceil(count(*) / {_STREAM_DPR}.0) * {_STREAM_DPR} AS BIGINT) AS o
+  FROM documents
+),
+newids AS (
+  SELECT d.doc_id AS old_id,
+         (SELECT o FROM off) + row_number() OVER (ORDER BY d.doc_id) - 1 AS doc_id
+  FROM deldocs d
+),
+corpus2 AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM deldocs)
+  UNION ALL
+  SELECT ni.doc_id, b.text || ' upd' AS text
+  FROM documents b JOIN newids ni ON b.doc_id = ni.old_id
+),
+toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term FROM corpus2
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM toks GROUP BY term, doc_id
+)
+SELECT term, doc_id, tf FROM postings
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2566,6 +2651,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_span_near_topk": q_span_near_topk,
     "q_percentiles_agg": q_percentiles_agg,
     "q_delete_by_query": q_delete_by_query,
+    "q_update_by_query": q_update_by_query,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -2634,4 +2720,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_span_near_topk": SQL_SPAN_NEAR_TOPK,
     "q_percentiles_agg": SQL_PERCENTILES_AGG,
     "q_delete_by_query": SQL_DELETE_BY_QUERY,
+    "q_update_by_query": SQL_UPDATE_BY_QUERY,
 }

@@ -498,8 +498,13 @@ def compact_index(
                 wds.parquet(os.path.join(idx.path, new_dstats))
                 new_ptrs["docstats"] = new_dstats
                 extra_retired.append(cur.get("docstats", "docstats"))
-        # corpus stats restated over live docs (ES: N/avgdl shrink at merge)
-        lrow = live.agg(
+        # corpus stats restated over live docs (ES: N/avgdl shrink at
+        # merge); doclen comes from docstats — the streamed doc store
+        # does not materialize it
+        live_stats = idx.docstats.join(
+            idx.deleted_ids().select("doc_id"), "doc_id", "left_anti"
+        )
+        lrow = live_stats.agg(
             F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
         ).collect()[0]
         n_live = int(lrow["n"] or 0)

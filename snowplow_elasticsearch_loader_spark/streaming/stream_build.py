@@ -171,9 +171,21 @@ def process_stream_batch(
                 "or rebuild this index via incremental_index_build."
             )
         prior_keys = prior.filter(F.col("batch_seg") != batch_id).select(
-            "conv_id", "turn_idx"
+            "doc_id", "conv_id", "turn_idx"
         )
-        good = good.join(prior_keys, ["conv_id", "turn_idx"], "left_anti")
+        # tombstoned docs must not block re-insertion of their natural
+        # keys — update_by_query tombstones the old version and streams
+        # the replacement; the upsert probe sees only LIVE versions
+        dels = InvertedIndex(spark, index_dir, cfg).deleted_ids()
+        if dels is not None:
+            prior_keys = prior_keys.join(
+                dels.select("doc_id"), "doc_id", "left_anti"
+            )
+        good = good.join(
+            prior_keys.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "left_anti",
+        )
 
     # each micro-batch starts at a fresh doc-range boundary so its
     # blocks land in exclusive (term_bucket, range_id) partitions —
@@ -253,6 +265,104 @@ def process_stream_batch(
         [("heartbeat", batch_id, "stream", time.time())],
         METRICS_SCHEMA,
     )
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    transform,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> int:
+    """ES ``_update_by_query`` parity, implemented exactly the way ES
+    does it internally: each matching doc's OLD version is tombstoned
+    and a NEW version (same natural key (conv_id, turn_idx), fresh
+    internal doc_id) is indexed into a new segment — here one streaming
+    micro-batch through ``process_stream_batch``, whose upsert probe
+    re-admits the natural keys because tombstoned versions are excluded
+    from it. ``compact_index`` is the merge that expunges the old
+    versions.
+
+    ``transform`` is a Column -> Column text rewrite (the script
+    analog), applied JVM-side — no per-row Python.
+
+    Matching is term-pushed (only the queried terms' postings decode).
+    Index-wide stats follow Lucene until-merge semantics: N/avgdl/df
+    still count the old versions until compaction restates them.
+
+    Non-atomicity, exactly like ES (``conflicts`` semantics): the
+    tombstone commit and the replacement-segment commit are separate
+    durable steps. A crash between them leaves the matched docs
+    deleted but not yet re-indexed — re-run the update from the source
+    of truth; every step is individually idempotent/replay-safe.
+
+    Only streamed indexes (batch_seg layout) accept replacement
+    segments; ``process_stream_batch`` refuses batch-built dirs with an
+    actionable error. Returns the number of docs updated."""
+    idx = InvertedIndex(spark, index_dir, cfg)
+    ids = (
+        idx.postings()
+        .filter(F.col("term").isin(list(terms)))
+        .select("doc_id")
+        .distinct()
+    )
+    rows = idx.live_documents().join(ids, "doc_id")
+    missing = {"conv_id", "turn_idx", "text"} - set(rows.columns)
+    if missing:
+        raise ValueError(
+            "update_by_query needs the doc store's natural-key columns "
+            f"(missing {sorted(missing)}); build_blocks_only stores are "
+            "(doc_id, text)-keyed and cannot re-version documents"
+        )
+    state = _read_state(index_dir)
+    if state is None:
+        raise ValueError(
+            "update_by_query requires a streamed index (_stream_state "
+            "bookkeeping); batch-built indexes take updates as a "
+            "rebuild or via a fresh streamed segment dir"
+        )
+    batch_id = int(state.get("last_batch", -1)) + 1
+    # step 0 (durable): stage the replacement rows to disk BEFORE
+    # tombstoning — their lineage reads the very postings the tombstone
+    # hides, so a cache-evicted recompute after step 1 would silently
+    # produce an EMPTY replacement batch (lost update). A durable
+    # staging file also gives the crash window between steps a replay
+    # source.
+    import shutil
+
+    from pyspark.sql import Observation
+
+    staging = os.path.join(index_dir, f"_update_staging_{batch_id}")
+    obs_n = Observation("upd-n")
+    rows.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        transform(F.col("text")).alias("text"),
+        "tool",
+        "ts",
+    ).observe(obs_n, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        staging
+    )
+    n = int(obs_n.get["n"])
+    if n == 0:
+        shutil.rmtree(staging, ignore_errors=True)
+        return 0
+    repl = spark.read.parquet(staging)
+    # step 1 (durable): tombstone the old versions — postings stop
+    # matching now, the upsert probe frees the natural keys
+    ids.write.mode("append").parquet(resolve_table_dir(index_dir, "_deletes"))
+    # step 2 (durable): replacement segment through the normal
+    # micro-batch commit protocol (ids continue from the stream state)
+    process_stream_batch(spark, repl, batch_id, index_dir, cfg)
+    shutil.rmtree(staging, ignore_errors=True)
+    _append(
+        spark,
+        os.path.join(index_dir, "_metrics"),
+        [("docs_updated", n, "update_by_query", time.time())],
+        METRICS_SCHEMA,
+    )
+    return n
 
 
 def incremental_index_build(

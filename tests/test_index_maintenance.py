@@ -114,3 +114,62 @@ def test_serving_engine_refuses_tombstones(spark, sf_tiny, tmp_path_factory):
         QueryEngine(idx, cfg=CFG, warm=False)
     idx2 = compact_index(idx)
     QueryEngine(idx2, cfg=CFG, warm=False)  # expunged index serves again
+
+
+def test_update_by_query_versions_and_upsert(spark, sf_tiny, tmp_path_factory):
+    """update_by_query = tombstone old version + replacement segment
+    under the SAME natural key; a later re-delivery of the original row
+    must still dedupe against the LIVE (new) version, never reinsert."""
+    import glob
+
+    from snowplow_elasticsearch_loader_spark.streaming.stream_build import (
+        incremental_index_build,
+        process_stream_batch,
+        update_by_query,
+    )
+
+    cfg = EngineConfig(index=IndexConfig(block_size=32, docs_per_range=100, term_buckets=8))
+    docs = load_table(spark, sf_tiny, "documents").filter(F.col("doc_id") < 300)
+    tr = docs.select(
+        F.format_string("doc-%010d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    in_dir = str(tmp_path_factory.mktemp("upd-in"))
+    idx_dir = str(tmp_path_factory.mktemp("upd-idx"))
+    cp_dir = str(tmp_path_factory.mktemp("upd-cp"))
+    tr.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "_b0"))
+    src = sorted(glob.glob(os.path.join(in_dir, "_b0", "part-*.parquet")))[0]
+    os.rename(src, os.path.join(in_dir, "0000.parquet"))
+    incremental_index_build(spark, in_dir, idx_dir, cp_dir, cfg, available_now=True)
+    idx = InvertedIndex(spark, idx_dir, cfg)
+
+    n_before = idx.live_documents().count()
+    n_upd = update_by_query(
+        spark, idx_dir, ["dup"], lambda c: F.concat(c, F.lit(" freshtoken")), cfg
+    )
+    assert n_upd > 0
+    # same natural-key count; every updated doc searchable under the new token
+    live = idx.live_documents()
+    assert live.count() == n_before
+    assert live.select("conv_id", "turn_idx").distinct().count() == n_before
+    hits = {
+        r["doc_id"]
+        for r in idx.postings().filter(F.col("term") == "freshtoken").select("doc_id").collect()
+    }
+    assert len(hits) == n_upd
+    # old versions no longer match the deleted term's postings... but the
+    # REPLACEMENTS do (they still contain 'dup' in their rewritten text)
+    dup_docs = {
+        r["doc_id"]
+        for r in idx.postings().filter(F.col("term") == "dup").select("doc_id").collect()
+    }
+    assert dup_docs == hits
+
+    # re-delivery of the ORIGINAL rows dedupes against the live version
+    process_stream_batch(spark, tr, 99, idx_dir, cfg)
+    assert idx.live_documents().count() == n_before
+    assert idx.live_documents().select("conv_id", "turn_idx").distinct().count() == n_before
