@@ -438,7 +438,25 @@ def main() -> None:
     #: delivered ceiling for that window; r3 observed whole WINDOWS
     #: where identical builds ran 3.6x slower with the control itself
     #: at 0.73-0.78, and consistency-gating alone accepted them.
-    CTL_GOOD = float(os.environ.get("BENCH_CTL_GOOD", "0.85"))
+    #:
+    #: 0.93, not 0.85 (tightened 2026-08-18 after the 11-pair ledger
+    #: made the mechanism quantifiable — full table + sensitivity in
+    #: BASELINE.md "Window-ceiling gate"): the bracketing control
+    #: samples ~20% of the build's wall clock, so a window whose
+    #: ceiling reads c on the control can have taxed the build for a
+    #: dip the control never saw — the measured raw ratio tracks the
+    #: window ceiling SUPER-linearly. Empirically every ledger pair
+    #: with ctl >= 0.95 read raw 0.76-0.85 (median 0.84) while every
+    #: pair with ctl <= 0.92 read 0.60-0.75: a 0.85-0.93 window is
+    #: ceiling-limited, not engine-limited, and admitting it
+    #: misattributes host paging to the engine. Pairs in the
+    #: 0.85-0.93 band are still measured, published, and appended to
+    #: the ledger (their ctl is stored; the history median re-gates).
+    CTL_GOOD = float(os.environ.get("BENCH_CTL_GOOD", "0.93"))
+    #: bracket-pass floor: pairs at [CTL_BAND, CTL_GOOD) are
+    #: "ceiling-limited" — excluded from the raw headline, kept in the
+    #: published record and the ledger
+    CTL_BAND = float(os.environ.get("BENCH_CTL_BAND", "0.85"))
     dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
     stages_small, stages_big = [], []
     pair_effs, pair_ctl_effs, pair_norm = [], [], []
@@ -450,7 +468,10 @@ def main() -> None:
     #: the driver's bench invocation must terminate even if the host
     #: never leaves a degraded phase
     wall_budget = float(os.environ.get("BENCH_SCALING_WALL_BUDGET_SEC", "2700"))
-    probe_good = float(os.environ.get("BENCH_PROBE_GOOD", "0.85"))
+    # 0.9 (was 0.85): with the evidentiary gate at CTL_GOOD=0.93, a
+    # 0.85-0.9 probe window almost always lands a ceiling-limited pair
+    # — ~9 pinned minutes that cannot enter the headline
+    probe_good = float(os.environ.get("BENCH_PROBE_GOOD", "0.9"))
     probe_wait = float(os.environ.get("BENCH_PROBE_WAIT_SEC", "150"))
     t_scaling0 = time.time()
     probe_log: list[float] = []
@@ -529,20 +550,37 @@ def main() -> None:
     thr_big = n_turns / dt_big
     eff = med(eff_pairs)
     eff_source = "this_run_clean_pairs" if g else "this_run_ALL_pairs_DEGRADED"
-    if not g:
-        # zero control-clean pairs this invocation (the host can hold a
-        # degraded phase for hours): the metric is DEFINED as the median
-        # over control-clean pairs, so extend the SAME gate across
-        # invocations via the ledger (identical code path, corpus and
-        # cores; every entry control-gated at measure time). This run's
-        # degraded pairs stay published above; the source label says
-        # exactly what the headline is.
-        ledger = _ledger_history(N_SMALL, N_BIG, n_turns)
+    # the criterion is a median over >=3 CONTROL-CLEAN pairs; when this
+    # invocation lands fewer (the host can hold a degraded/ceiling-
+    # limited phase for hours), extend the SAME gate across invocations
+    # via the ledger — every entry was control-gated at measure time
+    # and carries its ctl, so the history median re-applies CTL_GOOD.
+    # This run's own pairs (including band/degraded ones) stay
+    # published above; the source label says exactly what the headline
+    # is. Append THIS run's bracket-passing pairs first so the history
+    # includes them (never excludes fresh evidence, good or bad).
+    band = [i for i, c in enumerate(pair_ctl_effs) if c >= CTL_BAND]
+    for i in band:
+        _ledger_append(
+            {
+                "eff": round(pair_effs[i], 3),
+                "ctl": round(pair_ctl_effs[i], 3),
+                "norm": round(pair_norm[i], 3),
+                "small_sec": round(dts_small[i], 1),
+                "big_sec": round(dts_big[i], 1),
+                "cores": [N_SMALL, N_BIG],
+                "turns": n_turns,
+                "code": _git_head(),
+                "ts": round(time.time(), 1),
+            }
+        )
+    if len(g) < 3:
+        ledger = _ledger_history(N_SMALL, N_BIG, n_turns, ctl_gate=CTL_GOOD)
         if ledger:
             eff = ledger["scaling_efficiency_clean_history"]
             eff_source = (
                 f"clean_pair_ledger[n={ledger['clean_pair_history_n']}] "
-                "(this invocation measured 0 control-clean pairs)"
+                f"(this invocation measured {len(g)} control-clean pairs)"
             )
     ctl_eff = med(pair_ctl_effs)
     results["build"] = {
@@ -614,26 +652,6 @@ def main() -> None:
     log(f"build: {n_turns} turns | {small} {dt_small:.1f}s ({thr_small:.0f}/s) | "
         f"{big} {dt_big:.1f}s ({thr_big:.0f}/s) | eff {eff:.2f} | host-ceiling eff {ctl_eff:.2f}")
 
-    # append this run's CLEAN pairs to the cross-run ledger: the host's
-    # degraded phases last hours, so a single bench invocation can land
-    # zero clean pairs through no fault of the engine; the ledger keeps
-    # every control-clean measurement (with the code hash it measured)
-    # so the published history median survives one unlucky window.
-    for i in g:
-        _ledger_append(
-            {
-                "eff": round(pair_effs[i], 3),
-                "ctl": round(pair_ctl_effs[i], 3),
-                "norm": round(pair_norm[i], 3),
-                "small_sec": round(dts_small[i], 1),
-                "big_sec": round(dts_big[i], 1),
-                "cores": [N_SMALL, N_BIG],
-                "turns": n_turns,
-                "code": _git_head(),
-                "ts": round(time.time(), 1),
-            }
-        )
-
     _finish(results, total, t_all, prev, skip_latency)
 
 
@@ -662,18 +680,25 @@ def _ledger_append(entry: dict) -> None:
         fh.write(json.dumps(entry) + "\n")
 
 
-def _ledger_history(cores_small: int, cores_big: int, turns: int) -> dict:
+def _ledger_history(
+    cores_small: int, cores_big: int, turns: int, ctl_gate: float = 0.93
+) -> dict:
     """Cross-run clean-pair history at the same parallelism pair AND
     corpus size (small verify corpora must not mix into the headline
     corpus's history).
 
-    Every entry was measured in a control-clean host window (the same
-    gate the per-run headline uses); entries carry the git hash of the
-    code they measured, published alongside so staleness is auditable.
+    Every entry was measured in a bracket-passing host window and
+    stores its control ratio; the HISTORY median re-applies the
+    evidentiary gate (``ctl_gate``) so the file can keep ceiling-
+    limited pairs on record without them entering the headline.
+    Entries carry the git hash of the code they measured, published
+    alongside so staleness is auditable. ``gate_sensitivity`` reports
+    the median under looser/tighter gates so the gate choice itself is
+    auditable from the artifact.
     """
     if not os.path.exists(LEDGER_PATH):
         return {}
-    effs, codes = [], []
+    entries = []
     with open(LEDGER_PATH) as fh:
         for line in fh:
             line = line.strip()
@@ -684,15 +709,28 @@ def _ledger_history(cores_small: int, cores_big: int, turns: int) -> dict:
             except ValueError:
                 continue
             if e.get("cores") == [cores_small, cores_big] and e.get("turns") == turns:
-                effs.append(float(e["eff"]))
-                codes.append(e.get("code", "unknown"))
-    if not effs:
+                entries.append(e)
+    clean = [e for e in entries if float(e.get("ctl", 1.0)) >= ctl_gate]
+    if not clean:
         return {}
+    effs = [float(e["eff"]) for e in clean]
+    codes = [e.get("code", "unknown") for e in clean]
+    sens = {}
+    for gate in (0.85, 0.93, 0.95):
+        sel = [float(e["eff"]) for e in entries if float(e.get("ctl", 1.0)) >= gate]
+        if sel:
+            sens[f"ctl>={gate}"] = {
+                "n": len(sel),
+                "median": round(statistics.median(sel), 3),
+            }
     return {
         "clean_pair_history_effs": effs,
         "clean_pair_history_codes": codes,
         "scaling_efficiency_clean_history": round(statistics.median(effs), 3),
         "clean_pair_history_n": len(effs),
+        "clean_pair_history_gate": ctl_gate,
+        "clean_pair_gate_sensitivity": sens,
+        "ledger_pairs_total": len(entries),
     }
 
 
