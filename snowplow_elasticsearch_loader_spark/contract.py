@@ -1251,6 +1251,182 @@ FROM events GROUP BY event_type
 """
 
 
+#: boosting-query knobs (ES ``boosting: {positive, negative,
+#: negative_boost}``): docs containing a negative term keep matching
+#: but their relevance is multiplied down, never filtered out
+_NEG_TERMS = ["slow"]
+_NEG_BOOST = 0.5
+
+
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting-query parity: the positive clause is the reference
+    OR query set; docs containing any negative term have their final
+    BM25 score multiplied by ``negative_boost`` (demoted, not
+    excluded — the difference from must_not). The negative set is the
+    negative terms' postings doc ids — term-pushed, metadata-sized
+    next to the corpus — applied as a left join + conditional multiply
+    AFTER scoring, so positive-clause scoring stays identical to
+    q_bm25_topk. Scores quantized to 6 before ranking, both engines."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    posts_q = posts.filter(F.col("term").isin(qterm_list))
+    scored = bm25.score_candidates(posts_q, ds, qterms, avgdl, CFG)
+    neg = (
+        posts.filter(F.col("term").isin(_NEG_TERMS))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    # demote the UNROUNDED sum and round ONCE (in topk): *0.5 is exact
+    # in binary, so a single round at 6 stays inside the suite's
+    # cross-engine float contract — rounding before AND after the
+    # multiply manufactures exact .xxxxx5 ties whose half-up/half-even
+    # resolution differs between Spark and DuckDB
+    demoted = scored.join(neg, "doc_id", "left").select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("_neg"), F.col("score") * F.lit(_NEG_BOOST))
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return bm25.topk(demoted, DEFAULT_K)
+
+
+SQL_BOOSTING_TOPK = f"""
+{_sql_bm25_scored_cte()},
+scored_raw AS (
+  SELECT query_id, doc_id, sum(contrib) AS s FROM contribs GROUP BY query_id, doc_id
+),
+neg AS (
+  SELECT DISTINCT doc_id FROM postings
+  WHERE term IN ({", ".join(f"'{t}'" for t in _NEG_TERMS)})
+),
+demoted AS (
+  SELECT sr.query_id, sr.doc_id,
+         round(CASE WHEN n.doc_id IS NOT NULL THEN sr.s * {_NEG_BOOST}
+                    ELSE sr.s END, 6) AS score
+  FROM scored_raw sr LEFT JOIN neg n ON sr.doc_id = n.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM demoted
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_extended_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` aggregation parity over a numeric field:
+    count/min/max/sum/avg/variance/std per bucket in ONE partial-agg
+    pass (Spark's stddev_samp and DuckDB's stddev_samp share the
+    sample-variance definition). Rounded at 6 so both engines hash
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+
+
+SQL_EXTENDED_STATS_AGG = """
+SELECT event_type,
+       count(*) AS n,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       round(var_samp(value), 6) AS var_value,
+       round(stddev_samp(value), 6) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+#: composite-agg page size (ES ``composite.size`` + ``after`` cursor)
+_COMPOSITE_SIZE = 8
+
+
+def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation parity — the scalable paginated
+    bucket walk: buckets keyed by (lang, source) in key order, page 2
+    (``after`` = the last key of page 1). Like ES, pagination is a
+    keyset cursor, not offset: the page-2 scan FILTERS on the after-key
+    tuple before ranking, so each page's work is bounded by the keys
+    beyond the cursor (Spark: the tuple predicate pushes into the
+    aggregate's input; no global sort of all buckets survives —
+    TakeOrderedAndProject handles the page)."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    page1 = counts.orderBy("lang", "source").limit(_COMPOSITE_SIZE).collect()
+    last = page1[-1]
+    after_l, after_s = last["lang"], last["source"]
+    beyond = counts.filter(
+        (F.col("lang") > after_l)
+        | ((F.col("lang") == after_l) & (F.col("source") > after_s))
+    )
+    return (
+        beyond.orderBy("lang", "source")
+        .limit(_COMPOSITE_SIZE)
+        .withColumn(
+            "page_pos",
+            F.row_number().over(Window.orderBy("lang", "source")).cast("int"),
+        )
+    )
+
+
+SQL_COMPOSITE_AGG_PAGE2 = f"""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source
+),
+ordered AS (
+  SELECT lang, source, n_docs,
+         row_number() OVER (ORDER BY lang, source) AS rn
+  FROM counts
+)
+SELECT lang, source, n_docs,
+       CAST(rn - {_COMPOSITE_SIZE} AS INT) AS page_pos
+FROM ordered
+WHERE rn > {_COMPOSITE_SIZE} AND rn <= {2 * _COMPOSITE_SIZE}
+"""
+
+
+def q_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``exists`` query parity over a sparse/JSON field: per event
+    type, how many docs HAVE ``props.k`` (field present and non-null)
+    vs total — the null-accounting primitive behind ES's exists/
+    missing pair. One JVM json-path evaluation inside the scan's
+    codegen; no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    has = F.get_json_object("props", "$.k").isNotNull()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(has.cast("long")).alias("n_with_field"),
+    )
+
+
+SQL_EXISTS_AGG = """
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_field
+FROM events GROUP BY event_type
+"""
+
+
 def q_bm25_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with Lucene SmallFloat-style quantized doclen norms
     (SURVEY §7-hard #1): same plan as q_bm25_topk, doclen floor-
@@ -2652,6 +2828,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles_agg": q_percentiles_agg,
     "q_delete_by_query": q_delete_by_query,
     "q_update_by_query": q_update_by_query,
+    "q_boosting_topk": q_boosting_topk,
+    "q_extended_stats_agg": q_extended_stats_agg,
+    "q_composite_agg_page2": q_composite_agg_page2,
+    "q_exists_agg": q_exists_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -2721,4 +2901,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_percentiles_agg": SQL_PERCENTILES_AGG,
     "q_delete_by_query": SQL_DELETE_BY_QUERY,
     "q_update_by_query": SQL_UPDATE_BY_QUERY,
+    "q_boosting_topk": SQL_BOOSTING_TOPK,
+    "q_extended_stats_agg": SQL_EXTENDED_STATS_AGG,
+    "q_composite_agg_page2": SQL_COMPOSITE_AGG_PAGE2,
+    "q_exists_agg": SQL_EXISTS_AGG,
 }
