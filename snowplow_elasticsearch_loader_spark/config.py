@@ -60,6 +60,29 @@ class IndexConfig:
     # (core/src/main/resources/reference.conf:28): cap on the pandas
     # buffer a single SPIMI group may hold before flushing a run.
     max_run_postings: int = 1 << 22
+    # floor on the number of doc ranges a BUILD splits into. At 10^12
+    # turns ``docs_per_range`` yields ~10^6 ranges and this knob is
+    # inert; on a small corpus the fixed width would yield fewer ranges
+    # than a cluster has task slots, and because the block stage runs
+    # one task per range the stage time quantizes to whole WAVES: the
+    # 5.76M-turn bench corpus at the 1M default is 6 tasks — 3 packed
+    # waves at 2 cores but a single 6-of-8 wave at 8 cores, a built-in
+    # ~0.75 scaling ceiling no code inside the task can beat. The
+    # effective width (see ``effective_docs_per_range``) is a pure
+    # function of (cfg, n_docs) — never of the session's core count —
+    # so the produced index is byte-identical at any parallelism and
+    # resume re-derives the same ranges from the persisted corpus size.
+    min_build_ranges: int = 32
+
+    def effective_docs_per_range(self, n_docs: int) -> int:
+        """Range width actually used when building ``n_docs`` docs:
+        the configured width, shrunk (never grown) so the build has at
+        least ``min_build_ranges`` one-task ranges, floored at
+        ``block_size`` (the validate() invariant)."""
+        if self.min_build_ranges <= 1 or n_docs <= 0:
+            return self.docs_per_range
+        w = -(-n_docs // self.min_build_ranges)  # ceil
+        return max(self.block_size, min(self.docs_per_range, w))
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,7 @@ import json
 import os
 import shutil
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -361,9 +361,15 @@ def build_blocks_only(
     n_docs = int(obs.get["n_docs"])
     avgdl = float(obs.get["sum_dl"]) / float(n_docs) if n_docs else 0.0
     _write_corpus(spark, path, n_docs, avgdl)
+    dpr = cfg.index.effective_docs_per_range(n_docs)
+    cfg_b = (
+        replace(cfg, index=replace(cfg.index, docs_per_range=dpr))
+        if dpr != cfg.index.docs_per_range
+        else cfg
+    )
     index_build.build_blocks_df(
-        idx.documents, avgdl, cfg,
-        num_ranges=(max(n_docs - 1, 0) // cfg.index.docs_per_range) + 1,
+        idx.documents, avgdl, cfg_b,
+        num_ranges=(max(n_docs - 1, 0) // dpr) + 1,
     ).write.mode("overwrite").partitionBy("term_bucket", "range_id").parquet(
         os.path.join(path, "blocks")
     )
@@ -452,7 +458,7 @@ def compact_index(
     spark = idx.spark
     ensure_shipped(spark)
     t0 = time.time()
-    _, avgdl = idx.corpus()
+    n_docs_c, avgdl = idx.corpus()
     man_path = os.path.join(idx.path, "_manifest.json")
     cur = {"blocks": "blocks", "termdict": "termdict", "version": 0}
     if os.path.exists(man_path):
@@ -462,7 +468,17 @@ def compact_index(
     new_blocks, new_td = f"blocks_v{v}", f"termdict_v{v}"
     expunging = idx.has_tombstones()
     decoded = idx.postings()  # tombstone-filtered: the merge drops deletes
-    index_build.rebuild_blocks_from_postings(decoded, avgdl, cfg).write.mode(
+    # same adaptive width as the batch build: a compacted small corpus
+    # regains one-task-per-range parallelism instead of collapsing to
+    # a handful of tasks under the fixed 10^12-scale width
+    cfg_c = replace(
+        cfg,
+        index=replace(
+            cfg.index,
+            docs_per_range=cfg.index.effective_docs_per_range(n_docs_c),
+        ),
+    )
+    index_build.rebuild_blocks_from_postings(decoded, avgdl, cfg_c).write.mode(
         "overwrite"
     ).partitionBy("term_bucket", "range_id").parquet(os.path.join(idx.path, new_blocks))
     staged = spark.read.parquet(os.path.join(idx.path, new_blocks))
@@ -543,6 +559,27 @@ def compact_index(
             if name:
                 shutil.rmtree(os.path.join(idx.path, name), ignore_errors=True)
     out = InvertedIndex(spark, idx.path, cfg)
+    # streamed indexes track the committed max range id in the control
+    # file (the next micro-batch's collision guard — its segment's
+    # range ids must start above every live one). Compaction re-split
+    # the blocks under the adaptive width, so restate it from the new
+    # blocks table before any further batch reads the stale value.
+    state_file = os.path.join(idx.path, "_stream_state.json")
+    if os.path.exists(state_file):
+        try:
+            row = staged.agg(F.max("range_id").alias("m")).collect()[0]
+            new_max = int(row["m"]) if row["m"] is not None else -1
+            with open(state_file) as fh:
+                st = json.load(fh)
+            for side in ("before", "after"):
+                if side in st:
+                    st[side]["max_rid"] = new_max
+            tmp_s = state_file + ".tmp"
+            with open(tmp_s, "w") as fh:
+                json.dump(st, fh)
+            os.replace(tmp_s, state_file)
+        except Exception:
+            pass
     _append(
         spark,
         os.path.join(idx.path, "_checkpoints"),
@@ -672,7 +709,18 @@ def build_index(
     mark("corpus_read")
 
     # ---- stage 1: posting blocks per doc-range batch (resumable) ----
-    all_ranges = list(range((max(n_docs - 1, 0) // cfg.index.docs_per_range) + 1))
+    # effective width: pure f(cfg, n_docs) — inert at 10^12 turns, but
+    # on a small corpus it keeps the one-task-per-range stage from
+    # quantizing into whole waves (see IndexConfig.min_build_ranges).
+    # Resume re-derives the identical width from the persisted corpus
+    # row, so checkpointed range ids stay consistent across runs.
+    dpr = cfg.index.effective_docs_per_range(n_docs)
+    cfg_b = (
+        replace(cfg, index=replace(cfg.index, docs_per_range=dpr))
+        if dpr != cfg.index.docs_per_range
+        else cfg
+    )
+    all_ranges = list(range((max(n_docs - 1, 0) // dpr) + 1))
     done = _done_partitions(spark, path, "range_batch")
     todo = [r for r in all_ranges if r not in done]
     if ranges_per_batch is None:
@@ -685,14 +733,14 @@ def build_index(
         if fail_after_batches is not None and bi >= fail_after_batches:
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         t0 = time.time()
-        lo = min(batch) * cfg.index.docs_per_range
-        hi = (max(batch) + 1) * cfg.index.docs_per_range
+        lo = min(batch) * dpr
+        hi = (max(batch) + 1) * dpr
         docs_batch = idx.documents.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         )
         obs = Observation(f"blocks_{bi}")
         blocks = index_build.build_blocks_df(
-            docs_batch, avgdl, cfg, num_ranges=len(batch)
+            docs_batch, avgdl, cfg_b, num_ranges=len(batch)
         ).observe(
             obs,
             F.coalesce(F.sum("doc_count"), F.lit(0)).alias("postings"),

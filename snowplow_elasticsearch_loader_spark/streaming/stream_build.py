@@ -92,6 +92,13 @@ def _scan_state(spark: SparkSession, index_dir: str, exclude_batch: int) -> dict
             F.sum("doclen").alias("s"),
         ).collect()[0]
         nxt = int(row["m"]) + 1 if row["m"] is not None else 0
+        # a control-less dir was only ever written by the STREAM path,
+        # whose segments all use cfg's raw width — the committed max
+        # range id is therefore doc-derived (compaction, the one
+        # producer of narrower adaptive ranges, rewrites the control
+        # file with the true value; the batch build path is refused
+        # before this scan ever runs). Derived lazily by the caller,
+        # which knows dpr: max_rid = (next_doc_id - 1) // dpr.
         return {
             "n_docs": int(row["n"] or 0),
             "sum_dl": int(row["s"] or 0),
@@ -194,6 +201,18 @@ def process_stream_batch(
     nxt = int(base["next_doc_id"])
     dpr = cfg.index.docs_per_range
     offset = ((nxt + dpr - 1) // dpr) * dpr if nxt else 0
+    # COMPACTION re-splits blocks under the adaptive width (narrower
+    # than dpr on a small corpus), so compacted range ids can run past
+    # offset//dpr — and this batch's dynamic overwrite would silently
+    # REPLACE those live partitions. Start streamed ranges strictly
+    # above the committed max range id. The guard rides the control
+    # state (compaction rewrites it after a flip); a control-less dir
+    # is stream-only-at-raw-width, where (nxt-1)//dpr is exact. Never
+    # probed from the blocks dir itself: a crashed attempt's partial
+    # block writes would shift the replay's offset and break replay
+    # identity (the crash-mid-batch test pins this).
+    max_rid = int(base.get("max_rid", (nxt - 1) // dpr if nxt else -1))
+    offset = max(offset, (max_rid + 1) * dpr)
     seg = F.lit(batch_id).alias("batch_seg")
     dyn = {"partitionOverwriteMode": "dynamic"}
 
@@ -242,11 +261,16 @@ def process_stream_batch(
         index_dir,
         {
             "last_batch": batch_id,
-            "before": dict(base),
+            "before": {**dict(base), "max_rid": max_rid},
             "after": {
                 "n_docs": n_after,
                 "sum_dl": sum_after,
                 "next_doc_id": (offset + n_batch) if n_batch else nxt,
+                "max_rid": (
+                    max(max_rid, (offset + n_batch - 1) // dpr)
+                    if n_batch
+                    else max_rid
+                ),
             },
         },
     )

@@ -138,7 +138,14 @@ def test_compaction_preserves_postings_and_ranking(spark):
         res_before = wand.wand_topk(idx.blocks, idx.termdict, idx.corpus(), qs, k=5, cfg=small).collect()
         n_ranges_before = idx.blocks.select("range_id").distinct().count()
 
-        big = EngineConfig(index=IndexConfig(block_size=64, docs_per_range=4096, term_buckets=8))
+        # min_build_ranges=1: this test asserts the EXPLICIT width is
+        # honored (fewer ranges after the merge); the adaptive floor
+        # would re-split a corpus this small for task packing
+        big = EngineConfig(
+            index=IndexConfig(
+                block_size=64, docs_per_range=4096, term_buckets=8, min_build_ranges=1
+            )
+        )
         idx2 = compact_index(idx, big)
         after_rows = sorted(map(tuple, idx2.postings().select("term", "doc_id", "tf").collect()))
         assert after_rows == before_rows
