@@ -1081,6 +1081,84 @@ FROM events GROUP BY 1
 """
 
 
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation parity: NAMED, independently-evaluated
+    (and deliberately OVERLAPPING) filter buckets — a doc lands in
+    every bucket whose filter it matches, which is what distinguishes
+    ``filters`` from a CASE-style ``range`` bucketing. One bucket is a
+    query-context filter (docs containing a term), one structural
+    (short docs), one match_all. Each bucket is a filter + partial agg
+    over the same scan; Spark unions the three aggregates (3 metadata-
+    sized rows, no corpus-wide shuffle beyond the partial aggs)."""
+    from functools import reduce
+
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.size(tokens_col("text")).alias("doclen"),
+        F.array_contains(tokens_col("text"), "the").alias("has_the"),
+    )
+    parts = []
+    for name, flt in (
+        ("short", F.col("doclen") < 60),
+        ("has_the", F.col("has_the")),
+        ("all", F.lit(True)),
+    ):
+        parts.append(
+            base.filter(flt)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("doclen"), 6).alias("avg_doclen"),
+            )
+            .select(F.lit(name).alias("bucket"), "n_docs", "avg_doclen")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+SQL_FILTERS_AGG = f"""
+WITH base AS (
+  SELECT CAST(len({duckdb_tokens_expr('text')}) AS INT) AS doclen,
+         list_contains({duckdb_tokens_expr('text')}, 'the') AS has_the
+  FROM documents
+)
+SELECT 'short' AS bucket, count(*) AS n_docs, round(avg(doclen), 6) AS avg_doclen
+FROM base WHERE doclen < 60
+UNION ALL
+SELECT 'has_the', count(*), round(avg(doclen), 6) FROM base WHERE has_the
+UNION ALL
+SELECT 'all', count(*), round(avg(doclen), 6) FROM base
+"""
+
+
+#: histogram interval over doclen (ES histogram agg, min_doc_count=1)
+_HISTO_INTERVAL = 32
+
+
+def q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation parity over a numeric field:
+    fixed-interval buckets keyed by ``floor(x / interval) * interval``,
+    empty buckets omitted (min_doc_count=1). Stays entirely inside the
+    scan's partial agg — one narrow shuffle of bucket keys."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    dl = F.size(tokens_col("text"))
+    bucket = (F.floor(dl / F.lit(_HISTO_INTERVAL)) * _HISTO_INTERVAL).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+SQL_HISTOGRAM_AGG = f"""
+SELECT CAST(floor(len({duckdb_tokens_expr('text')}) / {_HISTO_INTERVAL}) * {_HISTO_INTERVAL} AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) >= 1
+"""
+
+
 #: span_near probes: (query_id, first term, second term, slop) —
 #: in-order proximity with at most ``slop`` tokens between the two
 _SPAN_QUERIES = [
@@ -1318,6 +1396,180 @@ ranked AS (
   SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
   FROM demoted
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: multi_match best_fields: the corpus has one text column, so the
+#: second field is the standard title analog — the first _TITLE_LEN
+#: tokens (ES users index exactly this as a "title"/"lead" subfield).
+#: Per-field statistics (df, avgdl, doclen) are FIELD-LOCAL, as in
+#: Lucene; tie_breaker folds the losing field in at 0.3.
+_TITLE_LEN = 8
+_TIE_BREAKER = 0.3
+
+
+def q_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` (type=best_fields, tie_breaker=0.3) parity
+    over fields (text, title): each field is scored as its own BM25
+    index — field-local df, doclen, avgdl, exactly Lucene's per-field
+    statistics — and a doc's final score is
+    ``max(fields) + tie_breaker * (sum(fields) - max(fields))``
+    (dis_max with a tie breaker). Title candidates are a subset of
+    text candidates (title tokens are a prefix of text tokens), so the
+    combine is a left join from the text scores; raw field sums are
+    combined first and rounded ONCE in topk."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens_col("text").alias("tk"))
+    qset = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    sides = []
+    for fname, fcol in (
+        ("text", F.col("tk")),
+        ("title", F.slice(F.col("tk"), 1, _TITLE_LEN)),
+    ):
+        ft = toks.select("doc_id", fcol.alias("ftk"))
+        posts = (
+            ft.select("doc_id", F.explode("ftk").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+        ds = ft.select("doc_id", F.size("ftk").alias("doclen"))
+        row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+        ts = P.term_stats(posts)
+        tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+        qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+        sc = bm25.score_candidates(
+            posts.filter(F.col("term").isin(qset)), ds, qterms, avgdl, CFG
+        )
+        sides.append(sc.withColumnRenamed("score", f"s_{fname}"))
+    s_text, s_title = sides
+    ti = F.coalesce(F.col("s_title"), F.lit(0.0))
+    combined = s_text.join(s_title, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.greatest(F.col("s_text"), ti)
+            + F.lit(_TIE_BREAKER) * F.least(F.col("s_text"), ti)
+        ).alias("score"),
+    )
+    return bm25.topk(combined, DEFAULT_K)
+
+
+def _sql_multi_match(k: int = DEFAULT_K) -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    tokens = duckdb_tokens_expr("text")
+
+    def contribs(posts: str, dst: str, corp: str, tst: str) -> str:
+        return f"""
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN {posts} p USING (term)
+  JOIN {tst} t USING (term)
+  JOIN {dst} d ON p.doc_id = d.doc_id
+  CROSS JOIN {corp} c"""
+
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+ttoks AS (
+  SELECT doc_id, unnest(list_slice({tokens}, 1, {_TITLE_LEN})) AS term FROM documents
+),
+tpostings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM ttoks GROUP BY term, doc_id
+),
+tdstats AS (
+  SELECT doc_id, CAST(least(len({tokens}), {_TITLE_LEN}) AS INT) AS doclen FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tcorpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM tdstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+ttstats AS (SELECT term, count(*) AS df FROM tpostings GROUP BY term),
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+c_text AS ({contribs('postings', 'dstats', 'corpus', 'tstats')}),
+c_title AS ({contribs('tpostings', 'tdstats', 'tcorpus', 'ttstats')}),
+s_text AS (SELECT query_id, doc_id, sum(contrib) AS s FROM c_text GROUP BY 1, 2),
+s_title AS (SELECT query_id, doc_id, sum(contrib) AS s FROM c_title GROUP BY 1, 2),
+combined AS (
+  SELECT st.query_id, st.doc_id,
+         round(greatest(st.s, coalesce(sti.s, 0.0))
+               + {_TIE_BREAKER} * least(st.s, coalesce(sti.s, 0.0)), 6) AS score
+  FROM s_text st
+  LEFT JOIN s_title sti ON st.query_id = sti.query_id AND st.doc_id = sti.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM combined
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_MULTI_MATCH_TOPK = _sql_multi_match()
+
+
+#: rank_feature saturation: contribution = weight * x / (x + pivot) —
+#: ES's default rank_feature function, here over doclen (the one
+#: numeric per-doc feature both engines derive identically)
+_RF_PIVOT = 60.0
+_RF_WEIGHT = 1.5
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` / ``rank_feature`` parity: BM25 relevance
+    plus an additive per-document feature contribution
+    ``weight * x/(x + pivot)`` (the rank_feature saturation function)
+    over doclen. The feature term joins AFTER scoring — positive-clause
+    scoring stays identical to q_bm25_topk — and the division is exact
+    IEEE in both engines; the sum is rounded ONCE in topk."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    dl = F.col("doclen").cast("double")
+    boosted = scored.join(ds, "doc_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("score") + F.lit(_RF_WEIGHT) * dl / (dl + F.lit(_RF_PIVOT))).alias("score"),
+    )
+    return bm25.topk(boosted, DEFAULT_K)
+
+
+SQL_FUNCTION_SCORE_TOPK = f"""
+{_sql_bm25_scored_cte()},
+scored_raw AS (
+  SELECT query_id, doc_id, sum(contrib) AS s FROM contribs GROUP BY query_id, doc_id
+),
+final AS (
+  SELECT sr.query_id, sr.doc_id,
+         round(sr.s + {_RF_WEIGHT} * d.doclen / (d.doclen + {_RF_PIVOT}), 6) AS score
+  FROM scored_raw sr JOIN dstats d ON sr.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM final
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 """
@@ -1617,6 +1869,132 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 
 
 SQL_PHRASE_TOPK = _sql_phrase()
+
+
+#: rescore: first-pass BM25 window, second-pass exact-phrase bonus
+_RESCORE_WINDOW = 3 * DEFAULT_K
+_RESCORE_WEIGHT = 2.0
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` parity (the two-phase search architecture): a
+    cheap first pass ranks by plain BM25, then only the top
+    ``window_size`` hits per query are re-scored with an expensive
+    second query — here an exact-phrase occurrence count, the classic
+    proximity rescorer — and re-ranked as
+    ``first_pass + weight * phrase_count``. The second pass touches
+    window_size * |queries| rows, never the corpus: the join back to
+    the doc text is a broadcast of the tiny hit set, exactly how a
+    fetch-phase rescorer behaves at scale. First-pass selection uses
+    the ROUNDED score (the reported number search_after would key on),
+    so both engines cut the identical window."""
+    from .functions.analyze import tokenize_text, tokens_col
+    from .functions.localdf import literal_df
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, PHRASE_QUERIES)
+    qterms = bm25.query_term_weights(spark, PHRASE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(PHRASE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    window = bm25.topk(scored, _RESCORE_WINDOW)  # (query_id, rank, doc_id, score)
+    phrases = literal_df(
+        spark,
+        [(qid, " " + " ".join(tokenize_text(qt)) + " ") for qid, qt in PHRASE_QUERIES],
+        "query_id string, phrase string",
+    )
+    normed = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")).alias(
+            "norm"
+        ),
+    )
+    hits = window.join(phrases, "query_id")
+    rescored = normed.join(F.broadcast(hits), "doc_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("score")
+            + F.lit(_RESCORE_WEIGHT)
+            * (
+                (F.length("norm") - F.length(F.replace(F.col("norm"), F.col("phrase"), F.lit(""))))
+                / F.length("phrase")
+            ).cast("double")
+        ).alias("score"),
+    )
+    return bm25.topk(rescored, DEFAULT_K)
+
+
+def _sql_rescore(k: int = DEFAULT_K) -> str:
+    from .functions.analyze import tokenize_text
+
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(
+        "('{}', '{}', ' {} ')".format(
+            qid, qtext.replace("'", "''"), " ".join(tokenize_text(qtext))
+        )
+        for qid, qtext in PHRASE_QUERIES
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qraw AS (SELECT * FROM (VALUES {rows}) AS t(query_id, query_text, phrase)),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+firstpass AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score FROM contribs GROUP BY 1, 2
+),
+windowed AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+  FROM firstpass
+),
+normed AS (
+  SELECT doc_id,
+         ' ' || array_to_string({duckdb_tokens_expr('text')}, ' ') || ' ' AS norm
+  FROM documents
+),
+rescored AS (
+  SELECT w.query_id, w.doc_id,
+         round(w.score + {_RESCORE_WEIGHT} *
+               CAST((length(n.norm) - length(replace(n.norm, q.phrase, ''))) / length(q.phrase) AS DOUBLE),
+               6) AS score
+  FROM windowed w
+  JOIN qraw q ON w.query_id = q.query_id
+  JOIN normed n ON w.doc_id = n.doc_id
+  WHERE w.r <= {_RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_RESCORE_TOPK = _sql_rescore()
 
 
 # ---------------------------------------------------------------------------
@@ -2829,6 +3207,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_delete_by_query": q_delete_by_query,
     "q_update_by_query": q_update_by_query,
     "q_boosting_topk": q_boosting_topk,
+    "q_multi_match_topk": q_multi_match_topk,
+    "q_function_score_topk": q_function_score_topk,
+    "q_rescore_topk": q_rescore_topk,
+    "q_filters_agg": q_filters_agg,
+    "q_histogram_agg": q_histogram_agg,
     "q_extended_stats_agg": q_extended_stats_agg,
     "q_composite_agg_page2": q_composite_agg_page2,
     "q_exists_agg": q_exists_agg,
@@ -2902,6 +3285,11 @@ ORACLE_SQL: dict[str, str] = {
     "q_delete_by_query": SQL_DELETE_BY_QUERY,
     "q_update_by_query": SQL_UPDATE_BY_QUERY,
     "q_boosting_topk": SQL_BOOSTING_TOPK,
+    "q_multi_match_topk": SQL_MULTI_MATCH_TOPK,
+    "q_function_score_topk": SQL_FUNCTION_SCORE_TOPK,
+    "q_rescore_topk": SQL_RESCORE_TOPK,
+    "q_filters_agg": SQL_FILTERS_AGG,
+    "q_histogram_agg": SQL_HISTOGRAM_AGG,
     "q_extended_stats_agg": SQL_EXTENDED_STATS_AGG,
     "q_composite_agg_page2": SQL_COMPOSITE_AGG_PAGE2,
     "q_exists_agg": SQL_EXISTS_AGG,
