@@ -459,11 +459,21 @@ def main() -> None:
     CTL_BAND = float(os.environ.get("BENCH_CTL_BAND", "0.85"))
     dts_small, dts_big, ctls_small, ctls_big = [], [], [], []
     stages_small, stages_big = [], []
-    pair_effs, pair_ctl_effs, pair_norm = [], [], []
+    pair_effs, pair_ctl_effs, pair_norm, pair_probes = [], [], [], []
     n_turns = 0
     med = statistics.median
     spread = lambda xs: round((max(xs) - min(xs)) / med(xs), 3)  # noqa: E731
-    good = lambda: [i for i, c in enumerate(pair_ctl_effs) if c >= CTL_GOOD]  # noqa: E731
+    # a pair is headline-eligible only when BOTH engine-independent
+    # window signals passed: the bracketing controls (ctl >= CTL_GOOD)
+    # AND the probe that admitted the pair (>= probe_good; pairs taken
+    # through the degraded-window fallback are published + ledgered but
+    # never enter the headline). Symmetric: the rule excludes fallback
+    # pairs whether they read high or low.
+    good = lambda: [  # noqa: E731
+        i
+        for i, c in enumerate(pair_ctl_effs)
+        if c >= CTL_GOOD and pair_probes[i] >= probe_good
+    ]
     #: wall budget for the whole scaling section (probe waits included):
     #: the driver's bench invocation must terminate even if the host
     #: never leaves a degraded phase
@@ -513,6 +523,17 @@ def main() -> None:
                 break
             log(f"probe {p:.2f} < {probe_good} (window degraded) — waiting {probe_wait:.0f}s")
             time.sleep(probe_wait)
+        # the probe that admitted this pair is window evidence in its
+        # own right: a pair measured through the "measuring anyway"
+        # fallback (probe < probe_good) was taken in a window the
+        # protocol's own engine-independent classifier called degraded,
+        # and the bracketing control samples only ~20% of the build's
+        # wall clock — ctl alone misclassifies such pairs in BOTH
+        # directions (run l, 2026-08-18: a fallback pair read raw 0.81
+        # at ctl 0.86, another read 0.74 at ctl 0.93). Record the
+        # admitting probe with the pair so the headline gate can
+        # require BOTH signals, symmetrically.
+        pair_probes.append(round(p, 3))
         dt_s, ctl_s, n_turns, st_s, ctl2_s = pinned_build(N_SMALL, corpus, warm_corpus)
         dt_b, ctl_b, _, st_b, ctl2_b = pinned_build(N_BIG, corpus, warm_corpus)
         stages_small.append(st_s)
@@ -572,6 +593,7 @@ def main() -> None:
                 "turns": n_turns,
                 "code": _git_head(),
                 "ts": round(time.time(), 1),
+                "probe": pair_probes[i],
             }
         )
     if len(g) < 3:
@@ -600,6 +622,7 @@ def main() -> None:
         "control_sec_big_runs": [round(x, 1) for x in ctls_big],
         "pair_efficiencies": [round(x, 3) for x in pair_effs],
         "pair_control_efficiencies": [round(x, 3) for x in pair_ctl_effs],
+        "pair_admitting_probes": pair_probes,
         "pair_normalized_efficiencies": [round(x, 3) for x in pair_norm],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_source": eff_source,
@@ -710,14 +733,23 @@ def _ledger_history(
                 continue
             if e.get("cores") == [cores_small, cores_big] and e.get("turns") == turns:
                 entries.append(e)
-    clean = [e for e in entries if float(e.get("ctl", 1.0)) >= ctl_gate]
+    # entries measured under the probe-recording protocol must also
+    # have been admitted by a passing probe (>= 0.9); older entries
+    # predate the field (their run logs are published) and keep the
+    # ctl-only gating they were measured under.
+    probe_ok = lambda e: float(e.get("probe", 1.0)) >= 0.9  # noqa: E731
+    clean = [e for e in entries if float(e.get("ctl", 1.0)) >= ctl_gate and probe_ok(e)]
     if not clean:
         return {}
     effs = [float(e["eff"]) for e in clean]
     codes = [e.get("code", "unknown") for e in clean]
     sens = {}
     for gate in (0.85, 0.93, 0.95):
-        sel = [float(e["eff"]) for e in entries if float(e.get("ctl", 1.0)) >= gate]
+        sel = [
+            float(e["eff"])
+            for e in entries
+            if float(e.get("ctl", 1.0)) >= gate and probe_ok(e)
+        ]
         if sel:
             sens[f"ctl>={gate}"] = {
                 "n": len(sel),

@@ -3143,6 +3143,226 @@ SQL_EMBED_NEARDUP_PAIRS = _sql_embed_neardup()
 
 
 # ---------------------------------------------------------------------------
+# simple_query_string / match_phrase_prefix / regexp / nested buckets
+# (E7 search-API parity, continued)
+
+#: simple_query_string fixture set: OR terms, +must, -must_not, and
+#: quoted phrases, over the synthetic documents vocabulary
+QS_QUERIES: list[tuple[str, str]] = [
+    ("qs-0001", "merge sort -dup"),
+    ("qs-0002", "+customer filter group"),
+    ("qs-0003", '"hash join" order'),
+    ("qs-0004", "vector +spark -slow"),
+    ("qs-0005", '+the +scan "merge sort"'),
+]
+
+
+def q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``simple_query_string`` parity: a real parser (+must,
+    -must_not, "phrase", bare OR terms) feeding the standard BM25
+    contract; clause semantics documented in operators/querystring.py.
+    Clause tables are metadata-sized and broadcast; the term filter is
+    pushed below every join."""
+    from .operators.querystring import query_string_topk
+
+    return query_string_topk(_docs(spark, sf_dir), QS_QUERIES, k=DEFAULT_K, cfg=CFG)
+
+
+def _sql_query_string(k: int = DEFAULT_K) -> str:
+    from .operators.querystring import parse_query_string, _phrase_needle
+
+    parsed = {qid: parse_query_string(qtext) for qid, qtext in QS_QUERIES}
+    # scored-term weights (qtf = occurrence count), from the SAME parse
+    # the Spark path uses so the two sides cannot drift
+    vals = []
+    for qid, p in parsed.items():
+        seen: dict[str, int] = {}
+        for t in p.scored_terms:
+            seen[t] = seen.get(t, 0) + 1
+        for t, n in sorted(seen.items()):
+            vals.append(f"('{qid}', '{t}', CAST({n} AS DOUBLE))")
+    qterms_cte = (
+        "qterms AS (SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(query_id, term, qtf))"
+    )
+    conds = []
+    for qid, p in parsed.items():
+        c = []
+        for t in sorted(set(p.must)):
+            c.append(f"d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{t}')")
+        for ph in p.phrases:
+            c.append(
+                "d.doc_id IN (SELECT doc_id FROM qsnormed WHERE contains(norm, '"
+                + _phrase_needle(ph)
+                + "'))"
+            )
+        if not p.must and not p.phrases:
+            terms = ", ".join(f"'{t}'" for t in sorted(set(p.should)))
+            c.append(f"d.doc_id IN (SELECT doc_id FROM postings WHERE term IN ({terms}))")
+        if p.must_not:
+            terms = ", ".join(f"'{t}'" for t in sorted(set(p.must_not)))
+            c.append(
+                f"d.doc_id NOT IN (SELECT doc_id FROM postings WHERE term IN ({terms}))"
+            )
+        conds.append(
+            f"SELECT '{qid}' AS query_id, d.doc_id FROM dstats d WHERE "
+            + " AND ".join(c)
+        )
+    cand = " UNION ALL ".join(conds)
+    return f"""
+{_sql_bm25_scored_cte(qterms_cte=qterms_cte)},
+qsnormed AS (
+  SELECT doc_id, ' ' || array_to_string({duckdb_tokens_expr('text')}, ' ') || ' ' AS norm
+  FROM documents
+),
+cand AS ({cand}),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scored s JOIN cand USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_QUERY_STRING_TOPK = _sql_query_string()
+
+
+#: match_phrase_prefix fixture set: (query_id, exact tokens, prefix)
+MPP_QUERIES: list[tuple[str, list[str], str]] = [
+    ("mpp-0001", ["merge", "sort"], "win"),
+    ("mpp-0002", ["hash"], "jo"),
+    ("mpp-0003", ["the"], "cust"),
+]
+
+
+def q_match_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` parity: adjacency of the exact
+    tokens, final slot expanded by prefix; score = matching base
+    positions (phrase frequency). Evaluated entirely with JVM
+    higher-order functions over the analyzed token array (codegen, no
+    Python workers)."""
+    from .operators.querystring import match_phrase_prefix_counts
+
+    return match_phrase_prefix_counts(_docs(spark, sf_dir), MPP_QUERIES, k=DEFAULT_K)
+
+
+def _sql_match_phrase_prefix(k: int = DEFAULT_K) -> str:
+    arms = []
+    for qid, toks, pre in MPP_QUERIES:
+        m = len(toks)
+        preds = [f"tk[i+{j}] = '{t}'" if j else f"tk[i] = '{t}'" for j, t in enumerate(toks)]
+        preds.append(f"starts_with(tk[i+{m}], '{pre}')")
+        arms.append(
+            f"""SELECT '{qid}' AS query_id, doc_id,
+         CASE WHEN len(tk) <= {m} THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(list_filter(range(1, len(tk)-{m}+1),
+                                        i -> {' AND '.join(preds)})) AS BIGINT) END AS score
+  FROM tl"""
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH tl AS (SELECT doc_id, {duckdb_tokens_expr('text')} AS tk FROM documents),
+hits AS (
+  {union}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM hits WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_MATCH_PHRASE_PREFIX_TOPK = _sql_match_phrase_prefix()
+
+
+#: regexp-query fixture patterns (ES anchors the pattern to the whole
+#: term; these are full-match patterns over the term dictionary)
+_REGEXPS = ["so.*", "h.sh", "(scan|stream)"]
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query parity with the constant-score multi-term
+    rewrite (same as wildcard/prefix): every dictionary term FULLY
+    matching the pattern matches; score = count of distinct matching
+    terms in the doc; top-10 per pattern, ties doc_id asc. The regexp
+    runs over the metadata-sized term dictionary, never the postings
+    or the corpus — exactly what ES pays (an automaton walk of the
+    term dict), then expanded terms broadcast into a term-pushed
+    postings join."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ts = P.term_stats(posts)
+    exp = None
+    for pat in _REGEXPS:
+        e = ts.filter(F.col("term").rlike(f"^(?:{pat})$")).select(
+            F.lit(pat).alias("pattern"), "term"
+        )
+        exp = e if exp is None else exp.union(e)
+    scored = (
+        posts.select("term", "doc_id")
+        .join(F.broadcast(exp), "term")
+        .groupBy("pattern", "doc_id")
+        .agg(F.countDistinct("term").alias("score"))
+    )
+    w = Window.partitionBy("pattern").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("pattern", "rank", "doc_id", F.col("score").cast("long").alias("score"))
+    )
+
+
+SQL_REGEXP_TOPK = f"""
+WITH {_DUCK_TOKS},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+pat(pattern) AS (VALUES {", ".join(f"('{p}')" for p in _REGEXPS)}),
+matches AS (
+  SELECT p.pattern, t.doc_id, CAST(count(DISTINCT t.term) AS BIGINT) AS score
+  FROM dterms t JOIN pat p ON regexp_full_match(t.term, p.pattern)
+  GROUP BY p.pattern, t.doc_id
+),
+ranked AS (
+  SELECT pattern, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY pattern ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM matches
+)
+SELECT pattern, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_nested_buckets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested BUCKET aggregation parity: ``date_histogram`` (day)
+    with a ``terms`` sub-aggregation on event_type, metrics per leaf
+    bucket. One scan -> partial agg -> single exchange on the compound
+    key; the two-level bucket tree ES renders is a reshape of these
+    flat rows."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+SQL_NESTED_BUCKETS_AGG = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3215,6 +3435,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_extended_stats_agg": q_extended_stats_agg,
     "q_composite_agg_page2": q_composite_agg_page2,
     "q_exists_agg": q_exists_agg,
+    "q_query_string_topk": q_query_string_topk,
+    "q_match_phrase_prefix_topk": q_match_phrase_prefix_topk,
+    "q_regexp_topk": q_regexp_topk,
+    "q_nested_buckets_agg": q_nested_buckets_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -3293,4 +3517,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_extended_stats_agg": SQL_EXTENDED_STATS_AGG,
     "q_composite_agg_page2": SQL_COMPOSITE_AGG_PAGE2,
     "q_exists_agg": SQL_EXISTS_AGG,
+    "q_query_string_topk": SQL_QUERY_STRING_TOPK,
+    "q_match_phrase_prefix_topk": SQL_MATCH_PHRASE_PREFIX_TOPK,
+    "q_regexp_topk": SQL_REGEXP_TOPK,
+    "q_nested_buckets_agg": SQL_NESTED_BUCKETS_AGG,
 }

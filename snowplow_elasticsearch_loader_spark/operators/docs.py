@@ -179,7 +179,6 @@ def _rowgroup_sample_cuts(files: list[str], num_ranges: int) -> list[str] | None
             pf = pq.ParquetFile(path)
             for rg in range(min(2, pf.metadata.num_row_groups)):
                 col = pf.read_row_group(rg, columns=["conv_id"]).column(0)
-                lst = col.to_pylist()
                 # STRIDE across the whole row group, never truncate to
                 # its head: a shuffled writer scatters rows across
                 # files but preserves each source partition's order
@@ -190,8 +189,21 @@ def _rowgroup_sample_cuts(files: list[str], num_ranges: int) -> list[str] | None
                 # ceiling stride: a floor stride + [:20000] truncation
                 # would drop the strided list's TAIL — the file's
                 # highest conv_ids — shifting every quantile low
-                # (measured: the last bucket swallowed 14% of rows)
-                vals.extend(lst[:: max(1, -(-len(lst) // 20000))])
+                # (measured: the last bucket swallowed 14% of rows).
+                # The stride is applied INSIDE Arrow (take on indices)
+                # before any Python object exists: to_pylist() on the
+                # full row group materialized ~1M Python strings per
+                # read — seconds of parallelism-independent driver
+                # time charged to the id_offsets stage at EVERY core
+                # count (an Amdahl constant the N-vs-4N ratio pays
+                # twice).
+                import pyarrow as pa
+
+                n_rg = len(col)
+                stride = max(1, -(-n_rg // 20000))
+                vals.extend(
+                    col.take(pa.array(range(0, n_rg, stride), type=pa.int64())).to_pylist()
+                )
             if len(vals) >= 100000:
                 break
         if len(vals) < 4 * num_ranges:
