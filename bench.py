@@ -559,8 +559,31 @@ def main() -> None:
         log(f"build pair {rep}: {small} {dt_s:.1f}s (ctl {ctl_s:.1f}/{ctl2_s:.1f}) | "
             f"{big} {dt_b:.1f}s (ctl {ctl_b:.1f}/{ctl2_b:.1f}) | eff {raw:.2f} | "
             f"host-ceiling {ctl_pre:.2f}/{ctl_post:.2f} | normalized {pair_norm[-1]:.2f} | "
+            f"probe {pair_probes[-1]:.2f} | "
             f"worst-stages {', '.join(f'{k}={e:.2f}' for e, k in worst)}"
             + ("" if ctl >= CTL_GOOD else " | window DEGRADED (excluded)"))
+        # bank bracket-passing pairs IMMEDIATELY: the ledger append used
+        # to run once after the rep loop, and a bench invocation killed
+        # mid-run (driver session end) lost its measured pairs — run o
+        # (2026-08-18, scripts/bench_r4_evidence/cleanpair_run_o.log)
+        # lost two probe-admitted control-clean pairs (0.87/0.86) that
+        # way. Per-pair appends make each ~9-minute pinned measurement
+        # durable the moment its evidence exists.
+        if ctl >= CTL_BAND:
+            _ledger_append(
+                {
+                    "eff": round(raw, 3),
+                    "ctl": round(ctl, 3),
+                    "norm": round(pair_norm[-1], 3),
+                    "small_sec": round(dt_s, 1),
+                    "big_sec": round(dt_b, 1),
+                    "cores": [N_SMALL, N_BIG],
+                    "turns": n_turns,
+                    "code": _git_head(),
+                    "ts": round(time.time(), 1),
+                    "probe": pair_probes[-1],
+                }
+            )
     g = good()
     #: headline = median over clean-window pairs; all pairs published
     eff_pairs = [pair_effs[i] for i in g] if len(g) >= 1 else pair_effs
@@ -578,24 +601,8 @@ def main() -> None:
     # and carries its ctl, so the history median re-applies CTL_GOOD.
     # This run's own pairs (including band/degraded ones) stay
     # published above; the source label says exactly what the headline
-    # is. Append THIS run's bracket-passing pairs first so the history
-    # includes them (never excludes fresh evidence, good or bad).
-    band = [i for i, c in enumerate(pair_ctl_effs) if c >= CTL_BAND]
-    for i in band:
-        _ledger_append(
-            {
-                "eff": round(pair_effs[i], 3),
-                "ctl": round(pair_ctl_effs[i], 3),
-                "norm": round(pair_norm[i], 3),
-                "small_sec": round(dts_small[i], 1),
-                "big_sec": round(dts_big[i], 1),
-                "cores": [N_SMALL, N_BIG],
-                "turns": n_turns,
-                "code": _git_head(),
-                "ts": round(time.time(), 1),
-                "probe": pair_probes[i],
-            }
-        )
+    # is. Bracket-passing pairs were appended to the ledger inline
+    # (per-pair, crash-durable), so the history already includes them.
     if len(g) < 3:
         ledger = _ledger_history(N_SMALL, N_BIG, n_turns, ctl_gate=CTL_GOOD)
         if ledger:
