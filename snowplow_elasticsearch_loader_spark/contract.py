@@ -278,6 +278,77 @@ SQL_BM25_TOPK_PAGE2 = (
 )
 
 
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` parity — true KEYSET pagination, distinct
+    from the offset page (`q_bm25_topk_page2`): the cursor is the
+    (score, doc_id) sort key of the last page-1 hit, and page 2 is a
+    VALUE filter on the scored set followed by a top-k — the filter
+    sits BELOW the ranking window, so page depth never grows the
+    ranked set (ES reference semantics: sort must include a unique
+    tiebreak field; ours is score desc, doc_id asc — the same total
+    order the whole BM25 contract uses). At corpus scale this is the
+    difference between ranking k*page docs (from/size) and ranking
+    only what lies beyond the cursor."""
+    from .operators import bm25
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    ).select("query_id", "doc_id", F.round("score", 6).alias("score"))
+    # cursor = sort key of the page-1 tail (rank DEFAULT_K); tiny
+    # (one row per query), broadcast against the scored set
+    cur = (
+        bm25.topk(scored, DEFAULT_K)
+        .filter(F.col("rank") == DEFAULT_K)
+        .select(
+            "query_id",
+            F.col("score").alias("c_score"),
+            F.col("doc_id").alias("c_doc"),
+        )
+    )
+    beyond = (
+        scored.join(F.broadcast(cur), "query_id")
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return bm25.topk(beyond, DEFAULT_K).withColumnRenamed("rank", "page_rank")
+
+
+SQL_BM25_SEARCH_AFTER = f"""
+{_sql_bm25_scored_cte()},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+cur AS (
+  SELECT query_id, score AS c_score, doc_id AS c_doc FROM ranked WHERE rank = {DEFAULT_K}
+),
+beyond AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN cur USING (query_id)
+  WHERE s.score < cur.c_score OR (s.score = cur.c_score AND s.doc_id > cur.c_doc)
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS page_rank
+  FROM beyond
+)
+SELECT query_id, page_rank, doc_id, score FROM ranked2 WHERE page_rank <= {DEFAULT_K}
+"""
+
+
 def q_highlight_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES highlight parity from the POSITIONAL index: for each top-k
     hit, the first token position of every query term it contains —
@@ -1028,6 +1099,69 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        round(sum(value), 6) AS sum_value,
        CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY 1
+"""
+
+
+#: moving_fn window (ES default shift=0: the window is the `w` buckets
+#: BEFORE the current one, current excluded; empty window -> null)
+_MOVING_FN_WINDOW = 3
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline-aggregation parity over a ``date_histogram`` bucket
+    series: ``derivative`` (day-over-day delta), ``cumulative_sum``,
+    ``moving_fn`` (unweighted avg, window 3, ES shift=0 — the window
+    ends at the PREVIOUS bucket, so the first bucket is null), and
+    ``bucket_script`` (per-bucket ratio sum_value/n_events).
+
+    Scale note: pipeline aggs operate on the BUCKET SERIES, not the
+    corpus — cardinality is O(#days) by construction, so the
+    single-partition ordered window here is the correct plan at any
+    corpus size (the corpus-sized work is the partial-agg scan that
+    produced the buckets, same plan as q_date_histogram). All derived
+    values compute from the ROUNDED per-bucket sum in day order in
+    both engines, keeping float accumulation bit-identical."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    w = Window.orderBy("day")
+    return buckets.select(
+        "day",
+        "n_events",
+        "sum_value",
+        F.round(F.col("sum_value") - F.lag("sum_value", 1).over(w), 6).alias(
+            "deriv_sum_value"
+        ),
+        F.round(
+            F.sum("sum_value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("cumu_sum_value"),
+        F.round(
+            F.avg("sum_value").over(w.rowsBetween(-_MOVING_FN_WINDOW, -1)), 6
+        ).alias("mavg_sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("value_per_event"),
+    )
+
+
+SQL_PIPELINE_AGGS = f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, sum_value,
+       round(sum_value - lag(sum_value) OVER (ORDER BY day), 6) AS deriv_sum_value,
+       round(sum(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumu_sum_value,
+       round(avg(sum_value) OVER (ORDER BY day
+             ROWS BETWEEN {_MOVING_FN_WINDOW} PRECEDING AND 1 PRECEDING), 6) AS mavg_sum_value,
+       round(sum_value / n_events, 6) AS value_per_event
+FROM buckets
 """
 
 
@@ -3407,6 +3541,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_search_fetch": q_search_fetch,
     "q_highlight_positions": q_highlight_positions,
     "q_bm25_topk_page2": q_bm25_topk_page2,
+    "q_bm25_search_after": q_bm25_search_after,
     "q_terms_agg": q_terms_agg,
     "q_prefix_topk": q_prefix_topk,
     "q_bm25_collapse_topk": q_bm25_collapse_topk,
@@ -3420,6 +3555,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_hits_agg": q_top_hits_agg,
     "q_term_suggest": q_term_suggest,
     "q_date_histogram": q_date_histogram,
+    "q_pipeline_aggs": q_pipeline_aggs,
     "q_cardinality_agg": q_cardinality_agg,
     "q_range_agg": q_range_agg,
     "q_span_near_topk": q_span_near_topk,
@@ -3489,6 +3625,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_search_fetch": SQL_SEARCH_FETCH,
     "q_highlight_positions": SQL_HIGHLIGHT_POSITIONS.replace("{QV}", queries_sql_values()),
     "q_bm25_topk_page2": SQL_BM25_TOPK_PAGE2,
+    "q_bm25_search_after": SQL_BM25_SEARCH_AFTER,
     "q_terms_agg": SQL_TERMS_AGG,
     "q_prefix_topk": SQL_PREFIX_TOPK,
     "q_bm25_collapse_topk": SQL_BM25_COLLAPSE_TOPK,
@@ -3502,6 +3639,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_top_hits_agg": SQL_TOP_HITS_AGG,
     "q_term_suggest": SQL_TERM_SUGGEST,
     "q_date_histogram": SQL_DATE_HISTOGRAM,
+    "q_pipeline_aggs": SQL_PIPELINE_AGGS,
     "q_cardinality_agg": SQL_CARDINALITY_AGG,
     "q_range_agg": SQL_RANGE_AGG,
     "q_span_near_topk": SQL_SPAN_NEAR_TOPK,
