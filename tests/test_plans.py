@@ -158,3 +158,25 @@ def test_collapse_topk_no_cartesian_and_group_limit(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_bm25_collapse_topk"](spark, sf_tiny)
     assert_in_plan(df, "WindowGroupLimit")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_search_after_filters_below_ranking_window(spark, sf_tiny):
+    """search_after's scale property: the cursor is a VALUE filter on
+    the scored set applied BEFORE the page's ranking window — page
+    depth must never grow the ranked set. The physical plan must show
+    the cursor comparison (score < / = cursor, doc_id > cursor) as a
+    Filter feeding the Window, and the cursor side broadcast."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_bm25_search_after"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    # cursor joined by broadcast (one row per query — never a shuffle)
+    assert "BroadcastHashJoin" in plan
+    # the keyset predicate survives as a real filter condition on the
+    # scored set (not folded away, not applied post-window)
+    assert "c_score" in plan and "c_doc" in plan, "cursor predicate absent from plan"
+    # the page ranking runs with the rank<=k limit pushed into the
+    # window operator (WindowGroupLimit), on the FILTERED set
+    assert "WindowGroupLimit" in plan
+    # no per-query cartesian anywhere
+    assert "CartesianProduct" not in plan
