@@ -3496,6 +3496,263 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: adjacency_matrix named filters (ES key format "A&B" for pairwise
+#: intersections). Deliberately overlapping, like q_filters_agg.
+_ADJ_KEYS = ["A", "B", "C", "A&B", "A&C", "B&C"]
+
+
+def q_adjacency_matrix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation parity: named filters A/B/C
+    evaluated over one scan, with a bucket per filter AND per pairwise
+    intersection (keyed "A&B" like ES), empty buckets omitted. Unlike
+    ``filters`` (one union branch per bucket) this is ONE partial agg
+    producing a single metadata-sized row of conditional counts,
+    unpivoted with ``stack`` — the shape that survives any corpus size
+    because the exchange carries 6 longs, never buckets of docs."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        (F.col("lang") == "en").alias("fa"),
+        (F.size(tokens_col("text")) < 60).alias("fb"),
+        F.array_contains(tokens_col("text"), "the").alias("fc"),
+    )
+
+    def _cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    conds = {
+        "A": F.col("fa"),
+        "B": F.col("fb"),
+        "C": F.col("fc"),
+        "A&B": F.col("fa") & F.col("fb"),
+        "A&C": F.col("fa") & F.col("fc"),
+        "B&C": F.col("fb") & F.col("fc"),
+    }
+    agg = base.agg(*[_cnt(conds[k]).alias(f"k{i}") for i, k in enumerate(_ADJ_KEYS)])
+    stack_args = ", ".join(f"'{k}', k{i}" for i, k in enumerate(_ADJ_KEYS))
+    return agg.selectExpr(
+        f"stack({len(_ADJ_KEYS)}, {stack_args}) AS (bucket, n_docs)"
+    ).filter(F.col("n_docs") > 0)
+
+
+SQL_ADJACENCY_MATRIX_AGG = f"""
+WITH flags AS (
+  SELECT (lang = 'en') AS fa,
+         (len({duckdb_tokens_expr('text')}) < 60) AS fb,
+         list_contains({duckdb_tokens_expr('text')}, 'the') AS fc
+  FROM documents
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+         CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+         CAST(sum(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT) AS kc,
+         CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS kab,
+         CAST(sum(CASE WHEN fa AND fc THEN 1 ELSE 0 END) AS BIGINT) AS kac,
+         CAST(sum(CASE WHEN fb AND fc THEN 1 ELSE 0 END) AS BIGINT) AS kbc
+  FROM flags
+)
+SELECT bucket, n_docs FROM (
+  SELECT 'A' AS bucket, ka AS n_docs FROM m
+  UNION ALL SELECT 'B', kb FROM m
+  UNION ALL SELECT 'C', kc FROM m
+  UNION ALL SELECT 'A&B', kab FROM m
+  UNION ALL SELECT 'A&C', kac FROM m
+  UNION ALL SELECT 'B&C', kbc FROM m
+) WHERE n_docs > 0
+"""
+
+
+def q_weighted_avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` aggregation parity: per ``lang`` bucket, the
+    average of ``n_chars`` weighted by token count (value field +
+    weight field, ES's two-field contract). The weighted numerator and
+    denominator are accumulated as EXACT integers (both fields are
+    ints), so the single final double division is bit-identical across
+    engines and accumulation orders — no float-sum order hazard."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    dl = F.size(tokens_col("text")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("long") * dl).cast("double")
+            / F.sum(dl).cast("double"),
+            6,
+        ).alias("weighted_avg_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_WEIGHTED_AVG_AGG = f"""
+SELECT lang,
+       round(CAST(sum(CAST(n_chars AS BIGINT) * len({duckdb_tokens_expr('text')})) AS DOUBLE)
+             / CAST(sum(CAST(len({duckdb_tokens_expr('text')}) AS BIGINT)) AS DOUBLE), 6)
+         AS weighted_avg_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+#: completion-suggester probes (prefixes) and page size
+_COMPLETE_PREFIXES = ["s", "me", "pa"]
+_COMPLETE_SIZE = 5
+
+
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion-suggester parity (the ``suggest`` endpoint's
+    prefix autocomplete): for each probe prefix, the top-5 dictionary
+    terms extending it, ranked by popularity (df desc, term asc — the
+    suggester's default weight). Answered ENTIRELY from the term
+    dictionary (metadata-sized; postings never touched) — the FST
+    prefix-walk expressed as a dictionary range predicate, which the
+    physical termdict serves as a pushed StringStartsWith
+    (q_prefix_topk's plan test covers that pushdown)."""
+    docs = _docs(spark, sf_dir)
+    ts = P.term_stats(P.build_postings(docs))
+    probes = literal_df(
+        spark, [(p,) for p in _COMPLETE_PREFIXES], "prefix string"
+    )
+    matched = ts.join(
+        F.broadcast(probes), F.col("term").startswith(F.col("prefix"))
+    ).select("prefix", "term", F.col("df").cast("long").alias("df"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _COMPLETE_SIZE)
+        .select("prefix", "rank", "term", "df")
+    )
+
+
+SQL_COMPLETION_SUGGEST = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+probes(prefix) AS (VALUES {", ".join(f"('{p}')" for p in _COMPLETE_PREFIXES)}),
+matched AS (
+  SELECT p.prefix, t.term, t.df
+  FROM tstats t JOIN probes p ON starts_with(t.term, p.prefix)
+),
+ranked AS (
+  SELECT prefix, term, df,
+         CAST(row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS INT) AS rank
+  FROM matched
+)
+SELECT prefix, rank, term, df FROM ranked WHERE rank <= {_COMPLETE_SIZE}
+"""
+
+
+#: terms_set query: the candidate term set, and the per-doc dynamic
+#: threshold (ES minimum_should_match_field — here derived from
+#: doclen: long docs must match 3 of the set, short docs 2)
+_TERMS_SET = ["hash", "join", "merge", "sort"]
+_TERMS_SET_LONG_DOCLEN = 60
+
+
+def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set`` query parity: a doc is a candidate when it
+    contains at least ``m(doc)`` DISTINCT terms of the set, where the
+    threshold is a PER-DOC field (``minimum_should_match_field``) —
+    here 3 for long docs (doclen >= 60) and 2 otherwise. Candidates
+    keep their full BM25 score over the set terms they match (bool
+    should semantics), under the engine's fixed sort-by-term
+    accumulation. The dynamic threshold rides the same per-(doc)
+    aggregation as the score — zero extra shuffles vs the OR query
+    (the difference from q_min_should_match_topk's constant m)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ts.filter(F.col("term").isin(_TERMS_SET)).collect()
+    }
+    qterms = literal_df(
+        spark,
+        [("ts-1", t, bm25.idf(n_docs, dfs.get(t, 0))) for t in sorted(_TERMS_SET)],
+        "query_id string, term string, w double",
+    )
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    posts_q = posts.filter(F.col("term").isin(_TERMS_SET))
+    cand = posts_q.join(F.broadcast(qterms), "term").join(ds, "doc_id")
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    required = F.when(
+        F.col("doclen") >= _TERMS_SET_LONG_DOCLEN, F.lit(3)
+    ).otherwise(F.lit(2))
+    scored = (
+        cand.select(
+            "query_id", "doc_id", "term", contrib.alias("contrib"), required.alias("req")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+            F.countDistinct("term").alias("_nt"),
+            F.first("req").alias("_req"),
+        )
+        .filter(F.col("_nt") >= F.col("_req"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_terms_set() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    terms = ", ".join(f"('{t}')" for t in sorted(_TERMS_SET))
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qterms(term) AS (VALUES {terms}),
+contribs AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib,
+         CASE WHEN d.doclen >= {_TERMS_SET_LONG_DOCLEN} THEN 3 ELSE 2 END AS req
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM contribs GROUP BY doc_id
+  HAVING count(DISTINCT term) >= max(req)
+),
+ranked AS (
+  SELECT 'ts-1' AS query_id, doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_TERMS_SET_TOPK = _sql_terms_set()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3574,6 +3831,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_query_string_topk": q_query_string_topk,
     "q_match_phrase_prefix_topk": q_match_phrase_prefix_topk,
     "q_regexp_topk": q_regexp_topk,
+    "q_adjacency_matrix_agg": q_adjacency_matrix_agg,
+    "q_weighted_avg_agg": q_weighted_avg_agg,
+    "q_completion_suggest": q_completion_suggest,
+    "q_terms_set_topk": q_terms_set_topk,
     "q_nested_buckets_agg": q_nested_buckets_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
@@ -3658,5 +3919,9 @@ ORACLE_SQL: dict[str, str] = {
     "q_query_string_topk": SQL_QUERY_STRING_TOPK,
     "q_match_phrase_prefix_topk": SQL_MATCH_PHRASE_PREFIX_TOPK,
     "q_regexp_topk": SQL_REGEXP_TOPK,
+    "q_adjacency_matrix_agg": SQL_ADJACENCY_MATRIX_AGG,
+    "q_weighted_avg_agg": SQL_WEIGHTED_AVG_AGG,
+    "q_completion_suggest": SQL_COMPLETION_SUGGEST,
+    "q_terms_set_topk": SQL_TERMS_SET_TOPK,
     "q_nested_buckets_agg": SQL_NESTED_BUCKETS_AGG,
 }
