@@ -180,3 +180,46 @@ def test_search_after_filters_below_ranking_window(spark, sf_tiny):
     assert "WindowGroupLimit" in plan
     # no per-query cartesian anywhere
     assert "CartesianProduct" not in plan
+
+
+def test_adjacency_matrix_single_row_agg(spark, sf_tiny):
+    """adjacency_matrix's scale property: the bucket matrix is ONE
+    partial+final aggregation producing a single metadata-sized row
+    (6 conditional longs), unpivoted driver-free with stack — never a
+    per-bucket union of corpus scans and never a join."""
+    import re
+
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_adjacency_matrix_agg"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    # exactly one exchange: the partial agg's single-row gather
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+    # one scan of documents, not one per bucket
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_completion_suggest_broadcasts_probes(spark, sf_tiny):
+    """The suggester joins the metadata-sized probe table against the
+    term dictionary by broadcast (range predicate, no shuffle of the
+    dictionary) and ranks with the group limit pushed into the
+    window."""
+    df = C.SPARK_QUERIES["q_completion_suggest"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_terms_set_pushes_set_terms_into_scan(spark, sf_tiny):
+    """terms_set candidates come from the set terms' postings only:
+    the term IN (...) predicate must reach the postings derivation so
+    candidate volume is bounded by the set's df, not the corpus."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_terms_set_topk"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    assert "IN (hash,join,merge,sort)" in plan, "set-term filter absent from plan"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
