@@ -197,7 +197,7 @@ def test_adjacency_matrix_single_row_agg(spark, sf_tiny):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan[:2000]
     # one scan of documents, not one per bucket
-    n_scans = len(re.findall(r"Scan parquet", plan))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 1, plan[:2000]
     assert "Join" not in plan
 
