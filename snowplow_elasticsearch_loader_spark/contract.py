@@ -3754,6 +3754,189 @@ SQL_TERMS_SET_TOPK = _sql_terms_set()
 
 
 # ---------------------------------------------------------------------------
+# percentile_ranks / matrix_stats / bucket_sort / rank_feature
+# (remaining ES aggregation + query-DSL parity rows)
+
+#: percentile_ranks probe values (ES ``percentile_ranks: {field:
+#: value, values: [...]}``)
+_PCT_RANK_VALUES = [5.0, 50.0, 95.0]
+
+
+def q_percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation parity: for each probe value
+    v, the percentage of the field's values <= v, per bucket — the
+    inverse lookup of q_percentiles_agg. Exact CDF semantics here
+    (``100 * count(value <= v) / count(*)``, one partial-agg scan, no
+    sort) so the oracle hash-matches; ES itself interpolates on a
+    t-digest — the same sketch swap documented on q_percentiles_agg is
+    what a 100 TB deployment makes, and the exact form is the sketch's
+    convergence target."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.avg((F.col("value") <= F.lit(v)).cast("double")) * 100.0, 6
+            ).alias(f"rank_{int(v)}")
+            for v in _PCT_RANK_VALUES
+        ]
+    )
+
+
+SQL_PERCENTILE_RANKS_AGG = f"""
+SELECT event_type,
+       {", ".join(f"round(100.0 * avg(CASE WHEN value <= {v} THEN 1.0 ELSE 0.0 END), 6) AS rank_{int(v)}" for v in _PCT_RANK_VALUES)}
+FROM events GROUP BY event_type
+"""
+
+
+def q_matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``matrix_stats`` aggregation parity over two numeric fields
+    (``value``, ``user_id``): per-field count/mean/sample-variance plus
+    the cross-field sample covariance and Pearson correlation — the
+    moment subset whose definitions are identical in Spark and DuckDB
+    (skewness/kurtosis use different small-sample corrections across
+    engines, so they are out of the hash contract). One partial-agg
+    scan; every statistic is a mergeable moment sketch, so the plan is
+    map-side combine + one tiny exchange at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.round(F.var_samp("value"), 6).alias("value_variance"),
+        F.round(F.avg("user_id"), 6).alias("user_id_mean"),
+        F.round(F.var_samp("user_id"), 6).alias("user_id_variance"),
+        F.round(F.covar_samp("value", "user_id"), 6).alias("covariance"),
+        F.round(F.corr("value", "user_id"), 6).alias("correlation"),
+    )
+    return row
+
+
+SQL_MATRIX_STATS_AGG = """
+SELECT count(*) AS n,
+       round(avg(value), 6) AS value_mean,
+       round(var_samp(value), 6) AS value_variance,
+       round(avg(user_id), 6) AS user_id_mean,
+       round(var_samp(user_id), 6) AS user_id_variance,
+       round(covar_samp(value, user_id), 6) AS covariance,
+       round(corr(value, user_id), 6) AS correlation
+FROM events
+"""
+
+
+#: bucket_sort page: skip the top bucket, take the next four
+_BUCKET_SORT_FROM, _BUCKET_SORT_SIZE = 1, 4
+
+
+def q_bucket_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation parity: order the terms
+    buckets by a metric (sum of ``value`` desc, bucket key asc as the
+    deterministic tiebreak), then apply from/size truncation — the
+    bucket-level pagination ES runs after the agg tree. The window runs
+    over the BUCKET SERIES (O(#event_types) rows), never the corpus;
+    the corpus-sized work is the same partial-agg scan as
+    q_terms_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    w = Window.orderBy(F.desc("sum_value"), F.asc("event_type"))
+    return (
+        buckets.withColumn("bucket_rank", F.row_number().over(w).cast("int"))
+        .filter(
+            (F.col("bucket_rank") > _BUCKET_SORT_FROM)
+            & (F.col("bucket_rank") <= _BUCKET_SORT_FROM + _BUCKET_SORT_SIZE)
+        )
+    )
+
+
+SQL_BUCKET_SORT_PAGE = f"""
+WITH buckets AS (
+  SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, n_events, sum_value,
+         CAST(row_number() OVER (ORDER BY sum_value DESC, event_type ASC) AS INT)
+           AS bucket_rank
+  FROM buckets
+)
+SELECT * FROM ranked
+WHERE bucket_rank > {_BUCKET_SORT_FROM}
+  AND bucket_rank <= {_BUCKET_SORT_FROM + _BUCKET_SORT_SIZE}
+"""
+
+
+#: rank_feature saturation pivot (ES default is the field's geometric
+#: mean; a fixed literal keeps the contract deterministic)
+_RANK_FEATURE_PIVOT = 500.0
+_RANK_FEATURE_BOOST = 2.0
+
+
+def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` query parity (``bool.should: [{match},
+    {rank_feature: {field, saturation: {pivot}, boost}}]``): BM25
+    relevance plus a static per-document feature prior —
+    ``boost * f / (f + pivot)`` with ``f = n_chars`` — the standard
+    popularity/quality-signal blend. Candidates stay the match
+    clause's (a rank_feature should-clause never matches on its own
+    here); df/avgdl are index-wide. The feature join touches only the
+    scored candidate rows, and at scale the feature column lives in
+    the doc store the fetch phase already reads."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    feat = docs.select(
+        "doc_id",
+        (
+            F.lit(_RANK_FEATURE_BOOST)
+            * F.col("n_chars")
+            / (F.col("n_chars") + F.lit(_RANK_FEATURE_PIVOT))
+        ).alias("_sat"),
+    )
+    # round the first-pass score to 6 BEFORE the blend: the oracle's
+    # shared scored-CTE reports rounded scores, and the contract keys
+    # every downstream rank on the reported number
+    total = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.round(F.col("score"), 6) + F.col("_sat"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_RANK_FEATURE_TOPK = f"""
+{_sql_bm25_scored_cte()},
+with_feat AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {_RANK_FEATURE_BOOST!r} * d.n_chars
+               / (d.n_chars + {_RANK_FEATURE_PIVOT!r}), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM with_feat
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3835,6 +4018,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_avg_agg": q_weighted_avg_agg,
     "q_completion_suggest": q_completion_suggest,
     "q_terms_set_topk": q_terms_set_topk,
+    "q_percentile_ranks_agg": q_percentile_ranks_agg,
+    "q_matrix_stats_agg": q_matrix_stats_agg,
+    "q_bucket_sort_page": q_bucket_sort_page,
+    "q_rank_feature_topk": q_rank_feature_topk,
     "q_nested_buckets_agg": q_nested_buckets_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
@@ -3923,5 +4110,9 @@ ORACLE_SQL: dict[str, str] = {
     "q_weighted_avg_agg": SQL_WEIGHTED_AVG_AGG,
     "q_completion_suggest": SQL_COMPLETION_SUGGEST,
     "q_terms_set_topk": SQL_TERMS_SET_TOPK,
+    "q_percentile_ranks_agg": SQL_PERCENTILE_RANKS_AGG,
+    "q_matrix_stats_agg": SQL_MATRIX_STATS_AGG,
+    "q_bucket_sort_page": SQL_BUCKET_SORT_PAGE,
+    "q_rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "q_nested_buckets_agg": SQL_NESTED_BUCKETS_AGG,
 }
