@@ -3937,6 +3937,549 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 
 
 # ---------------------------------------------------------------------------
+# ES aggregation/query parity, batch 7: rare_terms, multi_terms,
+# string_stats, boxplot, median_absolute_deviation, t_test, sibling
+# pipeline aggs, serial_diff, auto_date_histogram, dis_max,
+# constant_score, ids, percolate
+
+#: rare_terms cutoff (ES ``max_doc_count``, default 1; 3 here so the
+#: sf0.01 fixture yields a non-trivial rare set)
+_RARE_MAX_DOC_COUNT = 3
+
+
+def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` aggregation parity: the long-tail buckets a
+    ``terms`` agg ordered by count ASC would surface — buckets whose
+    doc count is <= ``max_doc_count`` (here over the integerized
+    ``value`` field; the transcripts vocabulary is too head-heavy to
+    have rare terms at test scale). ES implements this with a CuckooFilter
+    sketch to avoid materializing every bucket; the exact form here is
+    one partial-agg scan + HAVING, and the sketch swap is the same
+    exact->approx trade documented on q_percentiles_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor("value").cast("long").alias("value_bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= _RARE_MAX_DOC_COUNT)
+    )
+
+
+SQL_RARE_TERMS_AGG = f"""
+SELECT CAST(floor(value) AS BIGINT) AS value_bucket, count(*) AS doc_count
+FROM events GROUP BY 1 HAVING count(*) <= {_RARE_MAX_DOC_COUNT}
+"""
+
+
+_MULTI_TERMS_SIZE = 10
+
+
+def q_multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` aggregation parity: compound buckets over
+    (lang, source) with a sub-metric, ordered by doc count desc with
+    the compound key as the deterministic tie-break, truncated to
+    ``size``. One partial-agg scan; the rank window runs over the
+    bucket series (O(#lang x #source)), never the corpus."""
+    d = _docs(spark, sf_dir)
+    b = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    w = Window.orderBy(F.desc("doc_count"), F.asc("lang"), F.asc("source"))
+    return (
+        b.withColumn("bucket_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("bucket_rank") <= _MULTI_TERMS_SIZE)
+    )
+
+
+SQL_MULTI_TERMS_AGG = f"""
+WITH b AS (
+  SELECT lang, source, count(*) AS doc_count, round(avg(n_chars), 6) AS avg_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, doc_count, avg_chars,
+       CAST(row_number() OVER (ORDER BY doc_count DESC, lang ASC, source ASC) AS INT)
+         AS bucket_rank
+FROM b QUALIFY bucket_rank <= {_MULTI_TERMS_SIZE}
+"""
+
+
+def q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` aggregation parity (``show_distribution``
+    off): count / min / max / avg character length of the text field
+    plus the corpus-wide Shannon entropy (log2) of the CHARACTER
+    distribution — ES's collected-shard semantics. Lengths are one
+    partial-agg scan; the entropy distribution is a char explode ->
+    count groupBy whose key space is the alphabet (tiny at any corpus
+    size), so the second exchange moves O(|alphabet|) rows."""
+    d = _docs(spark, sf_dir)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min(F.length("text")).cast("long").alias("min_length"),
+        F.max(F.length("text")).cast("long").alias("max_length"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_length"),
+    )
+    dist = (
+        d.select(F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = dist.agg(F.sum("n").alias("t"))
+    ent = (
+        dist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum((F.col("n") / F.col("t")) * F.log2(F.col("n") / F.col("t"))), 6
+            ).alias("entropy")
+        )
+    )
+    return stats.crossJoin(F.broadcast(ent))
+
+
+SQL_STRING_STATS_AGG = """
+WITH chars AS (SELECT unnest(string_split(text, '')) AS c FROM documents),
+dist AS (SELECT c, CAST(count(*) AS DOUBLE) AS n FROM chars WHERE c <> '' GROUP BY c),
+tot AS (SELECT sum(n) AS t FROM dist),
+ent AS (SELECT round(-sum((n/t)*log2(n/t)), 6) AS entropy FROM dist, tot),
+st AS (
+  SELECT count(*) AS n_values,
+         CAST(min(length(text)) AS BIGINT) AS min_length,
+         CAST(max(length(text)) AS BIGINT) AS max_length,
+         round(avg(length(text)), 6) AS avg_length
+  FROM documents
+)
+SELECT st.*, ent.entropy FROM st, ent
+"""
+
+
+def q_boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` aggregation parity per bucket: min / q1 / median
+    / q3 / max of the value field. Exact linear-interpolation quantiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``) for the hash
+    contract; ES runs a t-digest — the same exact->sketch swap
+    documented on q_percentiles_agg is the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("q2"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+
+
+SQL_BOXPLOT_AGG = """
+SELECT event_type,
+       round(min(value), 6) AS v_min,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.5), 6) AS q2,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       round(max(value), 6) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
+def q_mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation parity per bucket:
+    median(|x - median(x)|). Two exact-median passes — the per-bucket
+    median table is bucket-count-sized, so the second pass joins a
+    broadcast relation and re-scans once. ES computes both medians on
+    one t-digest; same sketch-swap note as q_percentiles_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
+            ).alias("mad")
+        )
+    )
+
+
+SQL_MAD_AGG = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1)
+SELECT e.event_type, round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+"""
+
+
+#: t_test groups (ES ``t_test: {a: {filter}, b: {filter}, type: heteroscedastic}``)
+_TTEST_A, _TTEST_B = "click", "view"
+
+
+def q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` aggregation parity (heteroscedastic / Welch): the
+    t statistic between two filtered populations of the value field,
+    from single-pass conditional moments (mean, sample variance, n per
+    side — all mergeable partial aggs). ES reports the p-value, a
+    client-side CDF transform of (t, df) with no distributed part; the
+    deterministic distributed statistic is the contract here."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == _TTEST_A
+    b = F.col("event_type") == _TTEST_B
+    m = ev.agg(
+        F.avg(F.when(a, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v1"),
+        F.count(F.when(a, F.lit(1))).cast("double").alias("n1"),
+        F.avg(F.when(b, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v2"),
+        F.count(F.when(b, F.lit(1))).cast("double").alias("n2"),
+    )
+    return m.select(
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+            6,
+        ).alias("t_stat")
+    )
+
+
+SQL_T_TEST_AGG = f"""
+WITH m AS (
+  SELECT avg(value) FILTER (event_type = '{_TTEST_A}') AS m1,
+         var_samp(value) FILTER (event_type = '{_TTEST_A}') AS v1,
+         CAST(count(*) FILTER (event_type = '{_TTEST_A}') AS DOUBLE) AS n1,
+         avg(value) FILTER (event_type = '{_TTEST_B}') AS m2,
+         var_samp(value) FILTER (event_type = '{_TTEST_B}') AS v2,
+         CAST(count(*) FILTER (event_type = '{_TTEST_B}') AS DOUBLE) AS n2
+  FROM events
+)
+SELECT round((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t_stat FROM m
+"""
+
+
+def q_sibling_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggregations parity — ``avg_bucket`` /
+    ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` / ``stats_bucket``
+    over a daily date_histogram's per-bucket sum(value). The pipeline
+    runs over the BUCKET SERIES (O(#days) rows after the corpus-sized
+    partial agg), exactly like q_pipeline_aggs' parent-pipeline rows.
+    Bucket sums are quantized to 6 places BEFORE the sibling pass on
+    both engines so the second-level floats hash stably."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("bsum"))
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg("bsum"), 6).alias("avg_bucket"),
+        F.round(F.min("bsum"), 6).alias("min_bucket"),
+        F.round(F.max("bsum"), 6).alias("max_bucket"),
+        F.round(F.sum("bsum"), 6).alias("sum_bucket"),
+    )
+
+
+SQL_SIBLING_PIPELINE_AGGS = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS bsum
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       round(avg(bsum), 6) AS avg_bucket,
+       round(min(bsum), 6) AS min_bucket,
+       round(max(bsum), 6) AS max_bucket,
+       round(sum(bsum), 6) AS sum_bucket
+FROM daily
+"""
+
+
+_SERIAL_DIFF_LAG = 7
+
+
+def q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation parity (lag=7): the
+    week-over-week difference of a daily date_histogram's sum(value).
+    The lag window is ordered over the bucket series only; the first
+    ``lag`` buckets emit null, like ES. Bucket sums quantized to 6 on
+    both engines before differencing."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    w = Window.orderBy("day")
+    return daily.withColumn(
+        "diff7",
+        F.round(F.col("sum_value") - F.lag("sum_value", _SERIAL_DIFF_LAG).over(w), 6),
+    )
+
+
+SQL_SERIAL_DIFF_AGG = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, sum_value,
+       round(sum_value - lag(sum_value, {_SERIAL_DIFF_LAG}) OVER (ORDER BY day), 6)
+         AS diff7
+FROM daily
+"""
+
+
+#: auto_date_histogram: target bucket count and the fixed-width
+#: interval ladder (seconds). ES rounds to calendar intervals; the
+#: deterministic cross-engine contract here uses fixed widths on
+#: integer epoch-microseconds (calendar rounding differs between
+#: engines' session-timezone handling, width arithmetic cannot).
+_AUTO_HIST_TARGET = 10
+_AUTO_HIST_LADDER_SEC = [60, 3600, 86400, 604800, 2592000, 7776000, 31536000]
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``auto_date_histogram`` parity: pick the smallest interval
+    from a fixed ladder such that the series spans <= ``target``
+    buckets, then histogram on it. The span derives from one
+    min/max agg (mergeable, metadata-sized result broadcast back), so
+    the plan is two scans of the pushed-down (ts, value) columns and
+    no driver decision — the interval choice itself is an expression,
+    identical on both engines over integer microseconds."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the UTC-session cast makes unix_micros legal,
+    # and every output is a DIFFERENCE of epochs, so the interpretation
+    # offset cancels between engines
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(us).alias("mn"), (F.max(us) - F.min(us)).alias("span")
+    )
+    width = None
+    for w_sec in reversed(_AUTO_HIST_LADDER_SEC):
+        cond = F.col("span") < F.lit(w_sec * _AUTO_HIST_TARGET * 1_000_000)
+        width = F.when(cond, F.lit(w_sec)) if width is None else F.when(cond, F.lit(w_sec)).otherwise(width)
+    # fall through to the largest rung when the span exceeds the ladder
+    width = F.coalesce(width, F.lit(_AUTO_HIST_LADDER_SEC[-1]))
+    b = bounds.select("mn", width.cast("long").alias("width_sec"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.floor((us - F.col("mn")) / (F.col("width_sec") * 1_000_000))
+            .cast("long")
+            .alias("bucket"),
+            "width_sec",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _sql_auto_hist_width() -> str:
+    expr = str(_AUTO_HIST_LADDER_SEC[-1])
+    for w_sec in _AUTO_HIST_LADDER_SEC[-2::-1]:
+        expr = (
+            f"CASE WHEN span < {w_sec * _AUTO_HIST_TARGET * 1_000_000} "
+            f"THEN {w_sec} ELSE {expr} END"
+        )
+    return expr
+
+
+SQL_AUTO_DATE_HISTOGRAM = f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) - min(epoch_us(ts)) AS span
+  FROM events
+),
+b AS (SELECT mn, CAST({_sql_auto_hist_width()} AS BIGINT) AS width_sec FROM bounds)
+SELECT CAST(floor((epoch_us(ts) - b.mn) / (b.width_sec * 1000000)) AS BIGINT) AS bucket,
+       b.width_sec,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events, b GROUP BY 1, 2
+"""
+
+
+#: dis_max tie_breaker (ES default 0.0 collapses to pure max; 0.3 is
+#: the documented typical setting and exercises the blend)
+_DIS_MAX_TIE = 0.3
+
+
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` query parity with per-term subqueries:
+    score = max(term contributions) + tie_breaker * (sum - max) —
+    the best-matching clause dominates instead of the bool query's
+    coordinated sum. Contributions are the same unrounded BM25 terms
+    as q_explain_scores (proven hash-parity with the oracle's contribs
+    CTE); only the final blended score is quantized. Plan shape is
+    identical to q_bm25_topk: term-pushed postings join broadcast
+    query weights, one groupBy, window top-k."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    cand = (
+        posts.filter(F.col("term").isin(qterm_list))
+        .join(F.broadcast(qterms), "term")
+        .join(ds, "doc_id")
+    )
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        cand.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.max("c") + F.lit(_DIS_MAX_TIE) * (F.sum("c") - F.max("c")), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_DIS_MAX_TOPK = f"""
+{_sql_bm25_scored_cte()},
+dis AS (
+  SELECT query_id, doc_id,
+         round(max(contrib) + {_DIS_MAX_TIE!r} * (sum(contrib) - max(contrib)), 6)
+           AS score
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM dis
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+_CONSTANT_SCORE_TERM = "vector"
+_CONSTANT_SCORE_BOOST = 1.2
+_CONSTANT_SCORE_K = 20
+
+
+def q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``constant_score`` query parity: a filter-context term query
+    whose every hit scores exactly ``boost`` — no BM25 statistics are
+    consulted, which is why ES caches these clauses as bitsets. Here
+    the filter is a term-pushed postings probe (partition-prunable on
+    the physical index); ranking degenerates to the deterministic
+    doc_id order."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    hits = posts.filter(F.col("term") == _CONSTANT_SCORE_TERM).select("doc_id")
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _CONSTANT_SCORE_K)
+        .select(
+            "rank", "doc_id", F.lit(_CONSTANT_SCORE_BOOST).alias("score")
+        )
+    )
+
+
+SQL_CONSTANT_SCORE_TOPK = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+hits AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank
+  FROM postings WHERE term = '{_CONSTANT_SCORE_TERM}'
+)
+SELECT rank, doc_id, {_CONSTANT_SCORE_BOOST!r} AS score
+FROM hits WHERE rank <= {_CONSTANT_SCORE_K}
+"""
+
+
+_IDS_QUERY_SET = [3, 17, 42, 123, 999_999_999]
+
+
+def q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ids`` query parity: fetch documents by primary id, silently
+    skipping ids that don't exist (the trailing sentinel). On the
+    physical layout this is the doc-store point-read path (range-pruned
+    by the id-clustered file layout assign_doc_ids writes); here it is
+    an IN-list the scan pushes down (`PushedFilters: In(doc_id, ...)`)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("doc_id").isin(_IDS_QUERY_SET)).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_IDS_QUERY = f"""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id IN ({", ".join(str(i) for i in _IDS_QUERY_SET)})
+"""
+
+
+#: percolate candidate slice: docs with id < cap (a "new batch" being
+#: matched against the registered query set)
+_PERCOLATE_DOC_CAP = 50
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator parity (reverse search): the reference query set
+    is REGISTERED, and incoming documents are matched against it —
+    (query_id, doc_id) pairs where the doc contains EVERY term of the
+    query (match-query-with-AND percolation). The doc side is the
+    incoming batch (id < cap), tokenized once; the query-terms table is
+    metadata-sized and broadcast, so percolating a 100 TB day's batch
+    is one scan + broadcast join + count-match groupBy per batch —
+    no per-registered-query rescan, which is exactly why ES stores
+    percolator queries in an index."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PERCOLATE_DOC_CAP)
+    posts = P.build_postings(docs).select("term", "doc_id")
+    qt = literal_df(
+        spark,
+        sorted({(q, t) for q, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)}),
+        "query_id string, term string",
+    )
+    qn = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nq"))
+    matched = (
+        posts.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_nm"))
+    )
+    return (
+        matched.join(F.broadcast(qn), "query_id")
+        .filter(F.col("_nm") == F.col("_nq"))
+        .select("query_id", "doc_id")
+    )
+
+
+SQL_PERCOLATE = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qt AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term
+  FROM qraw
+),
+qn AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+matched AS (
+  SELECT qt.query_id, p.doc_id, count(*) AS nm
+  FROM postings p JOIN qt USING (term)
+  WHERE p.doc_id < {_PERCOLATE_DOC_CAP}
+  GROUP BY 1, 2
+)
+SELECT m.query_id, m.doc_id
+FROM matched m JOIN qn USING (query_id) WHERE m.nm = qn.nq
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4023,6 +4566,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bucket_sort_page": q_bucket_sort_page,
     "q_rank_feature_topk": q_rank_feature_topk,
     "q_nested_buckets_agg": q_nested_buckets_agg,
+    "q_rare_terms_agg": q_rare_terms_agg,
+    "q_multi_terms_agg": q_multi_terms_agg,
+    "q_string_stats_agg": q_string_stats_agg,
+    "q_boxplot_agg": q_boxplot_agg,
+    "q_mad_agg": q_mad_agg,
+    "q_t_test_agg": q_t_test_agg,
+    "q_sibling_pipeline_aggs": q_sibling_pipeline_aggs,
+    "q_serial_diff_agg": q_serial_diff_agg,
+    "q_auto_date_histogram": q_auto_date_histogram,
+    "q_dis_max_topk": q_dis_max_topk,
+    "q_constant_score_topk": q_constant_score_topk,
+    "q_ids_query": q_ids_query,
+    "q_percolate": q_percolate,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -4115,4 +4671,17 @@ ORACLE_SQL: dict[str, str] = {
     "q_bucket_sort_page": SQL_BUCKET_SORT_PAGE,
     "q_rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "q_nested_buckets_agg": SQL_NESTED_BUCKETS_AGG,
+    "q_rare_terms_agg": SQL_RARE_TERMS_AGG,
+    "q_multi_terms_agg": SQL_MULTI_TERMS_AGG,
+    "q_string_stats_agg": SQL_STRING_STATS_AGG,
+    "q_boxplot_agg": SQL_BOXPLOT_AGG,
+    "q_mad_agg": SQL_MAD_AGG,
+    "q_t_test_agg": SQL_T_TEST_AGG,
+    "q_sibling_pipeline_aggs": SQL_SIBLING_PIPELINE_AGGS,
+    "q_serial_diff_agg": SQL_SERIAL_DIFF_AGG,
+    "q_auto_date_histogram": SQL_AUTO_DATE_HISTOGRAM,
+    "q_dis_max_topk": SQL_DIS_MAX_TOPK,
+    "q_constant_score_topk": SQL_CONSTANT_SCORE_TOPK,
+    "q_ids_query": SQL_IDS_QUERY,
+    "q_percolate": SQL_PERCOLATE,
 }
