@@ -223,3 +223,40 @@ def test_terms_set_pushes_set_terms_into_scan(spark, sf_tiny):
     assert "IN (hash,join,merge,sort)" in plan, "set-term filter absent from plan"
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percolate_broadcasts_query_terms_no_cartesian(spark, sf_tiny):
+    """Percolation scales with the incoming BATCH, not the registered
+    query count: the query-terms table must enter as a broadcast
+    (metadata-sized literal relation) joined to the batch postings —
+    never a shuffle of the batch per query, never a cartesian."""
+    df = C.SPARK_QUERIES["q_percolate"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_ids_query_pushes_in_list_to_scan(spark, sf_tiny):
+    """The ids query is the doc-store point-read path: the IN-list must
+    reach the parquet scan as a pushed filter so only matching row
+    groups are read (footer min/max prune the rest at scale)."""
+    df = C.SPARK_QUERIES["q_ids_query"](spark, sf_tiny)
+    assert_in_plan(df, "PushedFilters: [In(doc_id")
+
+
+def test_dis_max_same_plan_family_as_bm25(spark, sf_tiny):
+    """dis_max reuses the term-pushed candidate plan: broadcast query
+    weights, one partial+final agg over (query, doc), window top-k —
+    the max/sum blend must not introduce a second corpus exchange."""
+    df = C.SPARK_QUERIES["q_dis_max_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_string_stats_entropy_exchange_is_alphabet_sized(spark, sf_tiny):
+    """string_stats' entropy distribution groups by single characters:
+    the plan must be partial+final hash aggregation (map-side combine
+    collapses each task to O(|alphabet|) rows before the exchange)."""
+    df = C.SPARK_QUERIES["q_string_stats_agg"](spark, sf_tiny)
+    assert_in_plan(df, "HashAggregate")
+    assert_not_in_plan(df, "CartesianProduct")
