@@ -27,6 +27,7 @@ import json
 import os
 import shutil
 import statistics
+import subprocess
 import sys
 import tempfile
 import time
@@ -177,11 +178,28 @@ def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, fl
         "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
         "--build-child", f"local[{n_cores}]", corpus, warm_corpus,
     ]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1800, env=os.environ
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    r = json.loads(line)
+    # one retry: a child that dies without printing its result line
+    # (JVM OOM-kill, py4j teardown crash) must cost ONE pair, not the
+    # whole run — run u died at pair 4 of a 10-pair budget on this
+    r = None
+    for child_try in range(2):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, env=os.environ
+        )
+        lines = out.stdout.strip().splitlines()
+        if lines:
+            try:
+                r = json.loads(lines[-1])
+                break
+            except ValueError:
+                pass
+        log(
+            f"build child (local[{n_cores}]) produced no result line "
+            f"(rc={out.returncode}); stderr tail: "
+            f"{out.stderr.strip().splitlines()[-3:] if out.stderr else []}"
+        )
+    if r is None:
+        raise RuntimeError(f"build child failed twice at local[{n_cores}]")
     return (
         float(r["sec"]),
         float(r["ctl_sec"]),
@@ -534,8 +552,13 @@ def main() -> None:
         # admitting probe with the pair so the headline gate can
         # require BOTH signals, symmetrically.
         pair_probes.append(round(p, 3))
-        dt_s, ctl_s, n_turns, st_s, ctl2_s = pinned_build(N_SMALL, corpus, warm_corpus)
-        dt_b, ctl_b, _, st_b, ctl2_b = pinned_build(N_BIG, corpus, warm_corpus)
+        try:
+            dt_s, ctl_s, n_turns, st_s, ctl2_s = pinned_build(N_SMALL, corpus, warm_corpus)
+            dt_b, ctl_b, _, st_b, ctl2_b = pinned_build(N_BIG, corpus, warm_corpus)
+        except (RuntimeError, subprocess.TimeoutExpired) as exc:
+            log(f"build pair {rep} LOST to child failure: {exc}")
+            pair_probes.pop()
+            continue
         stages_small.append(st_s)
         stages_big.append(st_b)
         dts_small.append(dt_s)
