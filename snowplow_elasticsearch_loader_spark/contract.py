@@ -4480,6 +4480,542 @@ FROM matched m JOIN qn USING (query_id) WHERE m.nm = qn.nq
 
 
 # ---------------------------------------------------------------------------
+# ES aggregation/query parity, batch 8: script_score, combined_fields,
+# intervals, diversified_sampler, top_metrics, date_range,
+# bucket_selector, value_count/missing/global, frequent_item_sets
+
+_SCRIPT_SCORE_DIV = 100.0
+
+
+def q_script_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``script_score`` query parity: rescale the relevance score
+    with an arbitrary per-document script — here the multiplicative
+    quality prior ``_score * (1 + ln(1 + n_chars/100))`` (rank_feature
+    is the additive saturation variant; this is the free-form
+    multiplicative one). The script runs as a JVM column expression on
+    the already-scored candidates (never a Python UDF), so the plan is
+    q_bm25_topk's plus one broadcast-sized projection; at 100 TB the
+    feature column rides the doc store the fetch phase reads anyway."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    feat = docs.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            + F.log(F.lit(1.0) + F.col("n_chars") / F.lit(_SCRIPT_SCORE_DIV))
+        ).alias("_mult"),
+    )
+    total = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.round(F.col("score"), 6) * F.col("_mult"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_SCRIPT_SCORE_TOPK = f"""
+{_sql_bm25_scored_cte()},
+rescored AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * (1.0 + ln(1.0 + d.n_chars / {_SCRIPT_SCORE_DIV!r})), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``combined_fields`` query parity: term-centric scoring over
+    several fields treated as ONE synthetic combined field — term
+    freqs add across fields, doclen is the summed field length, and
+    df/idf are computed on the combined postings (distinct from
+    multi_match, which scores fields separately and blends). Realized
+    by tokenizing the space-joined fields (text + source here): the
+    whitespace join is tf/df-identical to a per-field union because
+    the analyzer never emits a token spanning the boundary. Same
+    single-shuffle naive-BM25 plan as q_bm25_topk."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat_ws(" ", "text", "source")
+    )
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
+
+
+def _sql_combined_fields(k: int = DEFAULT_K) -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    combined = duckdb_tokens_expr("concat(text, ' ', source)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({combined}) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM toks GROUP BY term, doc_id
+),
+dstats AS (
+  SELECT doc_id, CAST(len({combined}) AS INT) AS doclen FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_COMBINED_FIELDS_TOPK = _sql_combined_fields()
+
+
+#: intervals all_of(ordered, max_gaps): (query_id, t1, t2, t3, max_gaps)
+_INTERVAL_QUERIES = [
+    ("iv-1", "batch", "merge", "data", 4),
+    ("iv-2", "sort", "join", "key", 6),
+]
+
+
+def q_intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``intervals`` query parity (``all_of: {ordered: true,
+    max_gaps}`` over three terms): a doc matches when the terms occur
+    in order with total gap ``p3 - p1 - 2 <= max_gaps``; matches rank
+    by summed BM25 of the three terms (the positional-query scoring
+    contract q_phrase_topk/q_span_near_topk fix). Answered entirely
+    FROM THE POSITIONAL INDEX: a three-way self-join of the terms'
+    postings (term-pushed, so it touches 3 posting lists, never the
+    corpus) with the gap test as nested JVM ``exists`` over the
+    position arrays — O(tf^3) per candidate in the worst case but
+    bounded by the posting lists' co-membership, the same cost Lucene
+    pays walking interval iterators."""
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    posts = idx.postings()
+    iv = literal_df(
+        spark,
+        _INTERVAL_QUERIES,
+        "query_id string, t1 string, t2 string, t3 string, max_gaps int",
+    )
+    iv_terms = sorted({t for _, t1, t2, t3, _ in _INTERVAL_QUERIES for t in (t1, t2, t3)})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in idx.termdict.filter(F.col("term").isin(iv_terms)).collect()
+    }
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+
+    def _contrib(tf_col: str, w: Column) -> Column:
+        return (
+            w
+            * (F.col(tf_col).cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+
+    idf_map = F.create_map(
+        *[x for t in iv_terms for x in (F.lit(t), F.lit(bm25.idf(n_docs, dfs.get(t, 0))))]
+    )
+    base = posts.filter(F.col("term").isin(iv_terms))
+    p1 = base.select(
+        F.col("term").alias("t1"), "doc_id", F.col("tf").alias("tf1"),
+        "doclen", F.col("positions").alias("pa"),
+    )
+    p2 = base.select(
+        F.col("term").alias("t2"), "doc_id", F.col("tf").alias("tf2"),
+        F.col("positions").alias("pb"),
+    )
+    p3 = base.select(
+        F.col("term").alias("t3"), "doc_id", F.col("tf").alias("tf3"),
+        F.col("positions").alias("pc"),
+    )
+    cand = (
+        p1.join(F.broadcast(iv), "t1")
+        .join(p2, ["t2", "doc_id"])
+        .join(p3, ["t3", "doc_id"])
+    )
+    gaps = F.col("max_gaps").cast("long")
+    matched = cand.filter(
+        F.exists(
+            "pa",
+            lambda a: F.exists(
+                "pb",
+                lambda bp: (bp > a)
+                & F.exists(
+                    "pc", lambda c: (c > bp) & ((c - a - F.lit(2)) <= gaps)
+                ),
+            ),
+        )
+    )
+    scored = matched.select(
+        "query_id",
+        "doc_id",
+        F.round(
+            _contrib("tf1", idf_map[F.col("t1")])
+            + _contrib("tf2", idf_map[F.col("t2")])
+            + _contrib("tf3", idf_map[F.col("t3")]),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_intervals() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(
+        f"('{q}', '{t1}', '{t2}', '{t3}', {g})" for q, t1, t2, t3, g in _INTERVAL_QUERIES
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+iv(query_id, t1, t2, t3, max_gaps) AS (VALUES {rows}),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT v.query_id, a.doc_id
+  FROM iv v
+  JOIN posns a ON a.term = v.t1
+  JOIN posns b ON b.doc_id = a.doc_id AND b.term = v.t2 AND b.pos > a.pos
+  JOIN posns c ON c.doc_id = a.doc_id AND c.term = v.t3 AND c.pos > b.pos
+   AND c.pos - a.pos - 2 <= v.max_gaps
+),
+qterms AS (
+  SELECT query_id, t1 AS term FROM iv
+  UNION ALL SELECT query_id, t2 FROM iv
+  UNION ALL SELECT query_id, t3 FROM iv
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT ct.query_id, ct.doc_id, round(sum(ct.contrib), 6) AS score
+  FROM contribs ct JOIN matched m ON ct.query_id = m.query_id AND ct.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_INTERVALS_TOPK = _sql_intervals()
+
+
+#: diversified_sampler: query, per-lang cap, sample size, terms-agg size
+_SAMPLER_QUERY_ID = "q-0001"
+_SAMPLER_MAX_PER_LANG = 2
+_SAMPLER_SHARD_SIZE = 50
+_SAMPLER_TOP_TERMS = 10
+
+
+def q_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``diversified_sampler`` + nested ``terms`` agg parity:
+    restrict an aggregation to the top-scoring sample of a query's
+    matches, at most ``max_docs_per_value`` docs per diversity field
+    (lang), then count docs-containing-term over the sample.
+    Deterministic ES analog: ES samples per shard in score order; here
+    the sample IS the global top-``shard_size`` in (score, doc_id)
+    order after the per-lang cap — two window functions over the
+    scored candidates (broadcast-small), then one postings join that
+    touches only sampled docs."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    sq = [(qid, qt) for qid, qt in REFERENCE_QUERIES if qid == _SAMPLER_QUERY_ID]
+    tdf = bm25.collect_query_term_stats(ts, sq)
+    qterms = bm25.query_term_weights(spark, sq, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(sq)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    lw = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    gw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    samp = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("lr", F.row_number().over(lw))
+        .filter(F.col("lr") <= _SAMPLER_MAX_PER_LANG)
+        .withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") <= _SAMPLER_SHARD_SIZE)
+        .select("doc_id")
+    )
+    terms = (
+        posts.join(F.broadcast(samp), "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    tw = Window.orderBy(F.desc("doc_count"), F.asc("term"))
+    return (
+        terms.withColumn("rn", F.row_number().over(tw))
+        .filter(F.col("rn") <= _SAMPLER_TOP_TERMS)
+        .select("term", "doc_count")
+    )
+
+
+SQL_SAMPLER_AGG = f"""
+{_sql_bm25_scored_cte()},
+samp0 AS (
+  SELECT s.doc_id, s.score, d.lang,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) AS lr
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.query_id = '{_SAMPLER_QUERY_ID}'
+),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM samp0 WHERE lr <= {_SAMPLER_MAX_PER_LANG}
+  ) WHERE rn <= {_SAMPLER_SHARD_SIZE}
+),
+t AS (
+  SELECT p.term, count(*) AS doc_count
+  FROM postings p JOIN samp USING (doc_id) GROUP BY 1
+),
+ranked AS (
+  SELECT term, doc_count, row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rn
+  FROM t
+)
+SELECT term, doc_count FROM ranked WHERE rn <= {_SAMPLER_TOP_TERMS}
+"""
+
+
+def q_top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_metrics`` aggregation parity: per bucket (event_type),
+    the metric values of the single top row under the agg's sort
+    (latest ts, event_id as the deterministic tiebreak ES resolves by
+    shard doc order). One window over the grouped scan — no join, no
+    second pass; at 100 TB this is the classic 'argmax per key' that
+    stays a single shuffle on the bucket key."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("top_ts"),
+            F.round("value", 6).alias("top_value"),
+        )
+    )
+
+
+SQL_TOP_METRICS_AGG = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS top_ts,
+       round(value, 6) AS top_value
+FROM (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+_DATE_RANGE_EDGES = ("2024-01-10", "2024-01-20")
+
+
+def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation parity (from inclusive, to
+    exclusive, like ES): three buckets over the events timeline with
+    per-bucket count + sum. The bucket key is a CASE over the scan —
+    partial-aggregatable, single exchange on 3 keys."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = _DATE_RANGE_EDGES
+    bucket = (
+        F.when(F.col("ts") < F.lit(lo).cast("timestamp"), F.lit(f"*-{lo}"))
+        .when(F.col("ts") < F.lit(hi).cast("timestamp"), F.lit(f"{lo}-{hi}"))
+        .otherwise(F.lit(f"{hi}-*"))
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_DATE_RANGE_AGG = f"""
+SELECT CASE WHEN ts < TIMESTAMP '{_DATE_RANGE_EDGES[0]}' THEN '*-{_DATE_RANGE_EDGES[0]}'
+            WHEN ts < TIMESTAMP '{_DATE_RANGE_EDGES[1]}' THEN '{_DATE_RANGE_EDGES[0]}-{_DATE_RANGE_EDGES[1]}'
+            ELSE '{_DATE_RANGE_EDGES[1]}-*' END AS bucket,
+       count(*) AS doc_count,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+_BUCKET_SELECTOR_MIN_SUM = 3500.0
+_BUCKET_SELECTOR_MIN_N = 3
+
+
+def q_bucket_selector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg parity: keep only buckets
+    whose metrics pass a script predicate (``params.total > 3500 &&
+    params.n >= 3``). In Spark the selector is a post-aggregation
+    filter — Catalyst keeps it above the partial agg, so the plan is
+    still scan -> partial -> one exchange -> final agg -> filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(
+            (F.col("total") > _BUCKET_SELECTOR_MIN_SUM)
+            & (F.col("n_events") >= _BUCKET_SELECTOR_MIN_N)
+        )
+    )
+
+
+SQL_BUCKET_SELECTOR_AGG = f"""
+SELECT user_id, round(sum(value), 6) AS total, count(*) AS n_events
+FROM events GROUP BY 1
+HAVING round(sum(value), 6) > {_BUCKET_SELECTOR_MIN_SUM!r} AND count(*) >= {_BUCKET_SELECTOR_MIN_N}
+"""
+
+
+def q_value_count_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``value_count`` + ``missing`` + ``global`` agg parity in one
+    row: total docs in scope (global), docs with a value for the field
+    (value_count), docs missing it (missing). One partial-aggregated
+    scan, no exchange beyond the final singleton."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("global_count"),
+        F.count("value").alias("value_count"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("missing_count"),
+    )
+
+
+SQL_VALUE_COUNT_MISSING_AGG = """
+SELECT count(*) AS global_count,
+       count(value) AS value_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
+FROM events
+"""
+
+
+_FIS_MIN_SUPPORT = 0.145
+
+
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation parity at set size 2:
+    baskets are (user_id, day) sessions, items are the event_types seen
+    in a basket; emit every item PAIR whose support (fraction of
+    baskets containing both) clears ``minimum_support``. Exact
+    counting — a distinct-items self-join per basket, partial-agg'd on
+    the pair — where ES runs the ECLAT sketch; same exact->approx
+    trade documented on q_percentiles_agg. The basket self-join is
+    keyed by basket id, so skew is bounded by items-per-basket (<=5
+    event types), never by corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    n_baskets = b.select("user_id", "d").distinct().count()
+    l = b.select("user_id", "d", F.col("event_type").alias("item_a"))
+    r = b.select("user_id", "d", F.col("event_type").alias("item_b"))
+    pairs = l.join(r, ["user_id", "d"]).filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support_count"))
+        .filter(F.col("support_count") >= F.lit(_FIS_MIN_SUPPORT) * F.lit(float(n_baskets)))
+        .select(
+            "item_a",
+            "item_b",
+            "support_count",
+            F.round(F.col("support_count") / F.lit(float(n_baskets)), 6).alias("support"),
+        )
+    )
+
+
+SQL_FREQUENT_ITEM_SETS = f"""
+WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+n AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, d FROM b)),
+p AS (
+  SELECT a.event_type AS item_a, c.event_type AS item_b, count(*) AS support_count
+  FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support_count,
+       round(support_count * 1.0 / (SELECT nb FROM n), 6) AS support
+FROM p WHERE support_count >= {_FIS_MIN_SUPPORT!r} * (SELECT nb FROM n)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4579,6 +5115,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_constant_score_topk": q_constant_score_topk,
     "q_ids_query": q_ids_query,
     "q_percolate": q_percolate,
+    "q_script_score_topk": q_script_score_topk,
+    "q_combined_fields_topk": q_combined_fields_topk,
+    "q_intervals_topk": q_intervals_topk,
+    "q_sampler_agg": q_sampler_agg,
+    "q_top_metrics_agg": q_top_metrics_agg,
+    "q_date_range_agg": q_date_range_agg,
+    "q_bucket_selector_agg": q_bucket_selector_agg,
+    "q_value_count_missing_agg": q_value_count_missing_agg,
+    "q_frequent_item_sets": q_frequent_item_sets,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -4684,4 +5229,13 @@ ORACLE_SQL: dict[str, str] = {
     "q_constant_score_topk": SQL_CONSTANT_SCORE_TOPK,
     "q_ids_query": SQL_IDS_QUERY,
     "q_percolate": SQL_PERCOLATE,
+    "q_script_score_topk": SQL_SCRIPT_SCORE_TOPK,
+    "q_combined_fields_topk": SQL_COMBINED_FIELDS_TOPK,
+    "q_intervals_topk": SQL_INTERVALS_TOPK,
+    "q_sampler_agg": SQL_SAMPLER_AGG,
+    "q_top_metrics_agg": SQL_TOP_METRICS_AGG,
+    "q_date_range_agg": SQL_DATE_RANGE_AGG,
+    "q_bucket_selector_agg": SQL_BUCKET_SELECTOR_AGG,
+    "q_value_count_missing_agg": SQL_VALUE_COUNT_MISSING_AGG,
+    "q_frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
 }
