@@ -5016,6 +5016,434 @@ FROM p WHERE support_count >= {_FIS_MIN_SUPPORT!r} * (SELECT nb FROM n)
 
 
 # ---------------------------------------------------------------------------
+# ES aggregation/query parity, batch 9: knn (filtered), rrf retriever,
+# pinned, random_sampler, change_point, categorize_text, span_first,
+# min_score
+
+_KNN_FILTER_LABEL = 3
+
+
+def q_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``knn`` search clause parity with a ``filter``: top-k by
+    cosine similarity among ONLY the vectors passing the filter
+    (``label = 3``) — ES applies knn filters DURING graph search, so
+    the k results all satisfy the filter (post-filtering a plain top-k
+    would return fewer). Exact search here (ES ``exact: true`` /
+    script_score knn); the ANN scale path is q_ann_ivf_topk* — same
+    contract, IVF cells as physical partitions. The filter is a
+    pushed-down parquet predicate, so at 100 TB the scan reads only
+    the filtered stripe."""
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == _KNN_FILTER_LABEL
+    )
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+SQL_KNN_FILTERED_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_inner_product(embedding::DOUBLE[], q.qv)
+               / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> 0 AND label = {_KNN_FILTER_LABEL}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank, vec_id, cos_sim
+  FROM scored
+)
+SELECT rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+_RRF_K = 60          # ES rrf rank_constant default
+_RRF_DEPTH = 100     # ES rrf rank_window_size
+_RRF_QUERY_ID = "q-0001"
+
+
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rrf`` retriever parity (hybrid search, 8.14+): fuse a
+    lexical BM25 ranking and a knn cosine ranking by reciprocal-rank
+    fusion — score(doc) = sum over rankings of 1/(rank_constant +
+    rank), over each ranking's top ``rank_window_size``. Embedding row
+    vec_id carries the embedding of document doc_id (the synthetic
+    corpus contract). Both input rankings are top-100 (driver-small
+    after their own distributed top-k), so the fusion join is a
+    broadcast-sized full outer join — at 100 TB the cost stays in the
+    two underlying retrievals, which each already scale."""
+    from .operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    rq = [(qid, qt) for qid, qt in REFERENCE_QUERIES if qid == _RRF_QUERY_ID]
+    lex = bm25.bm25_topk_naive(posts, ds, ts, rq, k=_RRF_DEPTH, cfg=CFG)
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk(emb, _query_vec(spark, sf_dir), k=_RRF_DEPTH, exclude_id=0)
+    l = lex.select(
+        "doc_id", (F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank"))).alias("c_lex")
+    )
+    r = knn.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank"))).alias("c_knn"),
+    )
+    fused = l.join(r, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce("c_lex", F.lit(0.0)) + F.coalesce("c_knn", F.lit(0.0)), 6
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("rank", "doc_id", "rrf_score")
+    )
+
+
+SQL_RRF_HYBRID_TOPK = f"""
+{_sql_bm25_scored_cte()},
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM scored WHERE query_id = '{_RRF_QUERY_ID}'
+  ) WHERE r <= {_RRF_DEPTH}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ksc AS (
+  SELECT vec_id,
+         round(list_inner_product(embedding::DOUBLE[], qv.qv)
+               / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(qv.qv, qv.qv))), 6) AS cs
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+),
+knn AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS r
+    FROM ksc
+  ) WHERE r <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, k.doc_id) AS doc_id,
+         round(coalesce(1.0/({_RRF_K} + l.r), 0) + coalesce(1.0/({_RRF_K} + k.r), 0), 6) AS rrf_score
+  FROM lex l FULL JOIN knn k ON l.doc_id = k.doc_id
+),
+ranked AS (
+  SELECT doc_id, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+  FROM fused
+)
+SELECT rank, doc_id, rrf_score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+_PINNED_IDS = [7, 42, 3]
+_PINNED_QUERY_ID = "q-0005"
+
+
+def q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``pinned`` query parity: the given ids occupy ranks 1..n in
+    their listed order regardless of relevance; organic BM25 results
+    follow, excluding the pinned ids. The pinned side is a literal
+    (LocalRelation); the organic side is the standard top-k plan with
+    a post-rank exclusion — dropping <= n pinned rows from a top-(k+n)
+    ranking always leaves >= k organic rows, so no second pass."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    pq = [(qid, qt) for qid, qt in REFERENCE_QUERIES if qid == _PINNED_QUERY_ID]
+    organic = bm25.bm25_topk_naive(
+        posts, ds, ts, pq, k=DEFAULT_K + len(_PINNED_IDS), cfg=CFG
+    )
+    npin = len(_PINNED_IDS)
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    org = (
+        organic.filter(~F.col("doc_id").isin(_PINNED_IDS))
+        .withColumn("nr", (F.row_number().over(w) + F.lit(npin)).cast("int"))
+        .filter(F.col("nr") <= DEFAULT_K)
+        .select("query_id", F.col("nr").alias("rank"), "doc_id")
+    )
+    pinned = literal_df(
+        spark,
+        [(_PINNED_QUERY_ID, i + 1, int(d)) for i, d in enumerate(_PINNED_IDS)],
+        "query_id string, rank int, doc_id long",
+    )
+    return pinned.unionByName(org)
+
+
+SQL_PINNED_TOPK = f"""
+{_sql_bm25_scored_cte()},
+org AS (
+  SELECT query_id, doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored
+  WHERE query_id = '{_PINNED_QUERY_ID}'
+    AND doc_id NOT IN ({", ".join(str(d) for d in _PINNED_IDS)})
+),
+pinned(query_id, rank, doc_id) AS (VALUES {", ".join(
+    f"('{_PINNED_QUERY_ID}', {i + 1}, {d})" for i, d in enumerate(_PINNED_IDS)
+)})
+SELECT query_id, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id FROM pinned
+UNION ALL
+SELECT query_id, CAST(r + {len(_PINNED_IDS)} AS INT) AS rank, doc_id
+FROM org WHERE r <= {DEFAULT_K - len(_PINNED_IDS)}
+"""
+
+
+#: random_sampler: shared LCG so both engines draw the SAME sample.
+#: At corpus scale the predicate becomes xxhash64(doc_id) % 100 — any
+#: uniform integer hash works; the LCG keeps the oracle twin exact.
+_SAMPLER_PCT = 37
+
+
+def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``random_sampler`` aggregation parity: run sub-aggregations
+    over a random p-fraction of matching docs and scale doc_count back
+    up by 1/p. ES samples per shard with a seeded hash; here the seed
+    is a fixed LCG over doc_id so the Spark and oracle samples are
+    bit-identical. The predicate is a scan-level filter (no shuffle
+    added); the agg over the sample is one partial-agg'd exchange."""
+    docs = _docs(spark, sf_dir)
+    h = ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)) % F.lit(100)
+    samp = docs.filter(h < _SAMPLER_PCT)
+    return samp.agg(
+        F.count(F.lit(1)).alias("sample_docs"),
+        F.round(F.count(F.lit(1)) / F.lit(_SAMPLER_PCT / 100.0), 6).alias("est_total_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_n_chars"),
+    )
+
+
+SQL_RANDOM_SAMPLER_AGG = f"""
+SELECT count(*) AS sample_docs,
+       round(count(*) / {_SAMPLER_PCT / 100.0!r}, 6) AS est_total_docs,
+       round(avg(n_chars), 6) AS avg_n_chars
+FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < {_SAMPLER_PCT}
+"""
+
+
+def q_change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``change_point`` pipeline aggregation parity (deterministic
+    core): over the daily sum(value) series from events, the change
+    point is the day maximizing |mean(before) - mean(at-and-after)|,
+    earliest day on ties (ES fits several change types via ML; the
+    mean-shift split is its dominant 'step_change' case, made exact so
+    the oracle can hash-match). The series is one row per day, so the
+    windows run over an agg output thousands of times smaller than the
+    scan — the global window is driver-trivial at any corpus size."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    s = (
+        daily.withColumn("cum_v", F.sum("v").over(wc))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        .withColumn("tot_v", F.sum("v").over(wall))
+        .withColumn("tot_n", F.count(F.lit(1)).over(wall))
+    )
+    cand = s.filter(F.col("rn") > 1).select(
+        "d",
+        F.abs(
+            (F.col("cum_v") - F.col("v")) / (F.col("rn") - 1)
+            - (F.col("tot_v") - (F.col("cum_v") - F.col("v")))
+            / (F.col("tot_n") - F.col("rn") + 1)
+        ).alias("shift"),
+    )
+    w = Window.orderBy(F.desc("shift"), F.asc("d"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("d").alias("change_point_day"), F.round("shift", 6).alias("mean_shift"))
+    )
+
+
+SQL_CHANGE_POINT_AGG = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+),
+s AS (
+  SELECT d, v,
+         sum(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+         row_number() OVER (ORDER BY d) AS rn,
+         sum(v) OVER () AS tot_v,
+         count(*) OVER () AS tot_n
+  FROM daily
+),
+cand AS (
+  SELECT d, abs((cum_v - v)/(rn - 1) - (tot_v - (cum_v - v))/(tot_n - rn + 1)) AS shift
+  FROM s WHERE rn > 1
+)
+SELECT d AS change_point_day, round(shift, 6) AS mean_shift
+FROM cand ORDER BY shift DESC, d ASC LIMIT 1
+"""
+
+
+_CATEGORIZE_PREFIX_TOKENS = 3
+_CATEGORIZE_TOP = 10
+
+
+def q_categorize_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``categorize_text`` aggregation parity (deterministic core):
+    group documents into message categories by token signature and
+    count each category. ES's categorizer drifts with its ML token
+    weighting; the deterministic analog — category = first N analyzed
+    tokens — is exact and order-stable so the oracle hash-matches.
+    One tokenize projection (JVM regexp, no Python) + one partial-agg
+    exchange on the category key; top buckets by (count, key)."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    cats = docs.select(
+        F.concat_ws(
+            " ", F.slice(tokens_col("text"), 1, _CATEGORIZE_PREFIX_TOKENS)
+        ).alias("category")
+    )
+    agg = cats.groupBy("category").agg(F.count(F.lit(1)).alias("doc_count"))
+    w = Window.orderBy(F.desc("doc_count"), F.asc("category"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CATEGORIZE_TOP)
+        .select("category", "doc_count")
+    )
+
+
+SQL_CATEGORIZE_TEXT_AGG = f"""
+WITH cats AS (
+  SELECT array_to_string(({duckdb_tokens_expr('text')})[1:{_CATEGORIZE_PREFIX_TOKENS}], ' ') AS category
+  FROM documents
+),
+agg AS (SELECT category, count(*) AS doc_count FROM cats GROUP BY 1),
+ranked AS (
+  SELECT category, doc_count,
+         row_number() OVER (ORDER BY doc_count DESC, category ASC) AS rn
+  FROM agg
+)
+SELECT category, doc_count FROM ranked WHERE rn <= {_CATEGORIZE_TOP}
+"""
+
+
+_SPAN_FIRST_TERM = "merge"
+_SPAN_FIRST_END = 8
+
+
+def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_first`` query parity: match docs where the term's
+    span ends within the first ``end`` positions (single-term span:
+    0-based position < end), ranked by the term's BM25 contribution.
+    Answered from the POSITIONAL INDEX: one pruned posting-list scan,
+    the position test a JVM ``exists`` over the positions array —
+    never a corpus re-tokenize; at 100 TB this touches exactly one
+    term's blocks via the termdict partition pruning."""
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    row = idx.termdict.filter(F.col("term") == _SPAN_FIRST_TERM).collect()
+    df_t = int(row[0]["df"]) if row else 0
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    posts = idx.postings().filter(F.col("term") == _SPAN_FIRST_TERM)
+    matched = posts.filter(
+        F.exists("positions", lambda p: p < F.lit(_SPAN_FIRST_END))
+    )
+    scored = matched.select(
+        "doc_id",
+        F.round(
+            F.lit(bm25.idf(n_docs, df_t))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _sql_span_first() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+matched AS (
+  SELECT doc_id FROM posns
+  WHERE term = '{_SPAN_FIRST_TERM}' GROUP BY doc_id HAVING min(pos) <= {_SPAN_FIRST_END}
+),
+scored AS (
+  SELECT p.doc_id,
+         round(ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)), 6) AS score
+  FROM postings p
+  JOIN matched m ON p.doc_id = m.doc_id
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+  WHERE p.term = '{_SPAN_FIRST_TERM}'
+),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPAN_FIRST_TOPK = _sql_span_first()
+
+
+_MIN_SCORE = 1.5
+
+
+def q_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``min_score`` parity: return EVERY hit scoring at or above
+    the cutoff (no top-k window — min_score bounds the result set by
+    score, not count). The cutoff compares the score after the same
+    6-decimal ranking round both engines share, so the boundary is
+    deterministic. Plan: the standard scored pipeline with a scalar
+    filter above the final agg — no extra exchange."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    return (
+        scored.select("query_id", "doc_id", F.round("score", 6).alias("score"))
+        .filter(F.col("score") >= _MIN_SCORE)
+    )
+
+
+SQL_MIN_SCORE = f"""
+{_sql_bm25_scored_cte()}
+SELECT query_id, doc_id, score FROM scored WHERE score >= {_MIN_SCORE!r}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5124,6 +5552,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bucket_selector_agg": q_bucket_selector_agg,
     "q_value_count_missing_agg": q_value_count_missing_agg,
     "q_frequent_item_sets": q_frequent_item_sets,
+    "q_knn_filtered_topk": q_knn_filtered_topk,
+    "q_rrf_hybrid_topk": q_rrf_hybrid_topk,
+    "q_pinned_topk": q_pinned_topk,
+    "q_random_sampler_agg": q_random_sampler_agg,
+    "q_change_point_agg": q_change_point_agg,
+    "q_categorize_text_agg": q_categorize_text_agg,
+    "q_span_first_topk": q_span_first_topk,
+    "q_min_score": q_min_score,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -5238,4 +5674,12 @@ ORACLE_SQL: dict[str, str] = {
     "q_bucket_selector_agg": SQL_BUCKET_SELECTOR_AGG,
     "q_value_count_missing_agg": SQL_VALUE_COUNT_MISSING_AGG,
     "q_frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
+    "q_knn_filtered_topk": SQL_KNN_FILTERED_TOPK,
+    "q_rrf_hybrid_topk": SQL_RRF_HYBRID_TOPK,
+    "q_pinned_topk": SQL_PINNED_TOPK,
+    "q_random_sampler_agg": SQL_RANDOM_SAMPLER_AGG,
+    "q_change_point_agg": SQL_CHANGE_POINT_AGG,
+    "q_categorize_text_agg": SQL_CATEGORIZE_TEXT_AGG,
+    "q_span_first_topk": SQL_SPAN_FIRST_TOPK,
+    "q_min_score": SQL_MIN_SCORE,
 }
