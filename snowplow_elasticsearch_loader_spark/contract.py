@@ -4630,19 +4630,30 @@ def q_intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arrays — O(tf^3) per candidate in the worst case but
     bounded by the posting lists' co-membership, the same cost Lucene
     pays walking interval iterators."""
+    from .operators import index_build as IB
+
     idx = _physical_index(spark, sf_dir)
     n_docs, avgdl = idx.corpus()
-    posts = idx.postings()
     iv = literal_df(
         spark,
         _INTERVAL_QUERIES,
         "query_id string, t1 string, t2 string, t3 string, max_gaps int",
     )
     iv_terms = sorted({t for _, t1, t2, t3, _ in _INTERVAL_QUERIES for t in (t1, t2, t3)})
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in idx.termdict.filter(F.col("term").isin(iv_terms)).collect()
-    }
+    td_rows = (
+        idx.termdict.filter(F.col("term").isin(iv_terms))
+        .select("term", "df", "term_bucket")
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in td_rows}
+    # partition-pruned block scan (the phrase/WAND pattern): read only
+    # the probed terms' buckets, then decode just those posting lists
+    buckets = sorted({int(r["term_bucket"]) for r in td_rows})
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("term_bucket").isin(buckets)).filter(
+            F.col("term").isin(iv_terms)
+        )
+    )
     k1, b = CFG.bm25.k1, CFG.bm25.b
 
     def _contrib(tf_col: str, w: Column) -> Column:
@@ -5339,12 +5350,21 @@ def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the position test a JVM ``exists`` over the positions array —
     never a corpus re-tokenize; at 100 TB this touches exactly one
     term's blocks via the termdict partition pruning."""
+    from .operators import index_build as IB
+
     idx = _physical_index(spark, sf_dir)
     n_docs, avgdl = idx.corpus()
     row = idx.termdict.filter(F.col("term") == _SPAN_FIRST_TERM).collect()
     df_t = int(row[0]["df"]) if row else 0
     k1, b = CFG.bm25.k1, CFG.bm25.b
-    posts = idx.postings().filter(F.col("term") == _SPAN_FIRST_TERM)
+    # partition-pruned single posting-list scan: only the term's bucket
+    # is read (PartitionFilters), then only its list is decoded
+    bucket = int(row[0]["term_bucket"]) if row else -1
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("term_bucket") == bucket).filter(
+            F.col("term") == _SPAN_FIRST_TERM
+        )
+    )
     matched = posts.filter(
         F.exists("positions", lambda p: p < F.lit(_SPAN_FIRST_END))
     )

@@ -260,3 +260,82 @@ def test_string_stats_entropy_exchange_is_alphabet_sized(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_string_stats_agg"](spark, sf_tiny)
     assert_in_plan(df, "HashAggregate")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_knn_filter_is_pushed_to_scan(spark, sf_tiny):
+    """ES knn.filter semantics demand the filter restrict candidates
+    BEFORE k selection; in the exact path that means the label
+    predicate must reach the parquet scan so a 100 TB embedding table
+    reads only the filtered stripe."""
+    df = C.SPARK_QUERIES["q_knn_filtered_topk"](spark, sf_tiny)
+    assert_in_plan(df, "EqualTo(label,3)")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_rrf_fusion_joins_topk_sides_only(spark, sf_tiny):
+    """RRF fuses two top-100 rankings: the fusion join runs above the
+    rank windows (WindowGroupLimit caps each side), so the full outer
+    join is bounded by 2x rank_window_size rows at any corpus size —
+    no corpus-sized join and no cartesian anywhere."""
+    df = C.SPARK_QUERIES["q_rrf_hybrid_topk"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_pinned_union_keeps_organic_plan_family(spark, sf_tiny):
+    """The pinned side must stay a driver-literal relation (the
+    Range+Generate lowering of literal_df — never a pickled-RDD scan
+    that forks Python workers) and the organic side the standard
+    broadcast+window top-k plan."""
+    df = C.SPARK_QUERIES["q_pinned_topk"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct", "Scan ExistingRDD")
+
+
+def test_random_sampler_filters_at_scan_level(spark, sf_tiny):
+    """The sampling predicate is an arithmetic filter over doc_id: it
+    must sit directly on the scan (no shuffle before the sample) and
+    aggregate partial+final to a singleton."""
+    df = C.SPARK_QUERIES["q_random_sampler_agg"](spark, sf_tiny)
+    assert_in_plan(df, "HashAggregate")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_intervals_and_span_first_never_rescan_corpus(spark, sf_tiny):
+    """Positional queries answer from the index: intervals' three-way
+    postings self-join and span_first's single posting-list scan must
+    both prune to the probed terms (pushed In/EqualTo on term) and
+    never join corpus-sized relations without a key."""
+    df = C.SPARK_QUERIES["q_span_first_topk"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [isnotnull(term_bucket", "EqualTo(term,merge)")
+    assert_not_in_plan(df, "CartesianProduct")
+    df2 = C.SPARK_QUERIES["q_intervals_topk"](spark, sf_tiny)
+    assert_not_in_plan(df2, "CartesianProduct")
+
+
+def test_combined_fields_single_postings_exchange(spark, sf_tiny):
+    """combined_fields tokenizes the joined fields once — the plan is
+    q_bm25_topk's (broadcast query weights + window top-k), not a
+    per-field union of scans."""
+    df = C.SPARK_QUERIES["q_combined_fields_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_change_point_windows_run_over_bucket_series(spark, sf_tiny):
+    """change_point's global windows must sit ABOVE the daily
+    aggregation (one row per day), never over the raw events scan.
+    The formatted detail section numbers nodes leaf-first, so the
+    aggregate's node id must be LOWER than every Window's."""
+    import re
+
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_change_point_agg"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    nodes = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    agg_ids = [int(i) for i, op in nodes if op == "HashAggregate"]
+    win_ids = [int(i) for i, op in nodes if op == "Window"]
+    assert agg_ids and win_ids, plan[:2000]
+    assert max(agg_ids) < min(win_ids), nodes
