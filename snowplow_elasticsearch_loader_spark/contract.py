@@ -5429,6 +5429,253 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 SQL_SPAN_FIRST_TOPK = _sql_span_first()
 
 
+# ---------------------------------------------------------------------------
+# ES API parity, batch 10: termvectors, _count, _analyze, span_not
+
+_TERMVECTORS_DOC_IDS = [5, 17]
+
+
+def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` API parity: per requested doc, its term
+    vector — (term, tf, positions) with field stats. The doc-axis
+    point lookup on the positional index: doc_id IN-list pushes to the
+    blocks scan (doc-range partition statistics prune row groups at
+    scale), decode yields the vectors without touching the corpus.
+    Positions are emitted 1-based to share the oracle's subscript
+    convention."""
+    from .operators import index_build as IB
+
+    idx = _physical_index(spark, sf_dir)
+    # doc-axis partition pruning: range_id = doc_id // effective width,
+    # so the scan reads only the requested docs' range partitions
+    n_docs, _ = idx.corpus()
+    dpr = _IDX_CFG.index.effective_docs_per_range(n_docs)
+    ranges = sorted({d // dpr for d in _TERMVECTORS_DOC_IDS})
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("range_id").isin(ranges))
+    ).filter(F.col("doc_id").isin(_TERMVECTORS_DOC_IDS))
+    return posts.select(
+        "doc_id",
+        "term",
+        "tf",
+        # ascending by construction (delta-decoded stream); 1-based,
+        # comma-joined so the twin compare stays scalar
+        F.array_join(
+            F.transform("positions", lambda p: (p + 1).cast("string")), ","
+        ).alias("positions"),
+    )
+
+
+SQL_TERMVECTORS = f"""
+WITH posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+  WHERE doc_id IN ({", ".join(str(d) for d in _TERMVECTORS_DOC_IDS)})
+)
+SELECT doc_id, term, CAST(count(*) AS INT) AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM posns GROUP BY doc_id, term
+"""
+
+
+def q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_count`` API parity: number of hits per reference query
+    under match (OR) semantics — docs containing at least one analyzed
+    query term. No scoring, no fetch: a semi-join from the term-pushed
+    postings to a distinct-doc count per query. One exchange on
+    (query_id, doc_id); the absent-term query counts zero rows (ES
+    returns count: 0, so the query keys ride a left join from the
+    query literal)."""
+    from .functions.analyze import tokenize_text
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    qtoks = [
+        (qid, t)
+        for qid, qtext in REFERENCE_QUERIES
+        for t in sorted(set(tokenize_text(qtext)))
+    ]
+    qt = literal_df(spark, qtoks, "query_id string, term string").distinct()
+    qterm_list = sorted({t for _, t in qtoks})
+    hits = (
+        posts.filter(F.col("term").isin(qterm_list))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id")
+        .agg(F.count_distinct("doc_id").alias("n_hits"))
+    )
+    qkeys = literal_df(
+        spark, [(qid,) for qid, _ in REFERENCE_QUERIES], "query_id string"
+    )
+    return qkeys.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("n_hits", F.lit(0)).alias("count")
+    )
+
+
+SQL_COUNT_API = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+qraw AS (SELECT * FROM {queries_sql_values()}),
+qtoks AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+hits AS (
+  SELECT q.query_id, count(DISTINCT p.doc_id) AS n
+  FROM qtoks q JOIN postings p USING (term) GROUP BY 1
+)
+SELECT r.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS count
+FROM (SELECT DISTINCT query_id FROM qraw) r LEFT JOIN hits h USING (query_id)
+"""
+
+
+_ANALYZE_TEXTS = [
+    ("a-1", "Merge-SORT beats   bubble_sort, obviously!"),
+    ("a-2", "ünïcode Tokens; 123 mixed99cases"),
+    ("a-3", ""),
+]
+
+
+def q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_analyze`` API parity: the analyzer's token stream for
+    given texts — (text_id, position, token). The single public
+    surface of the tokenization contract every other operator builds
+    on (E1); one JVM regexp projection over a literal, no scan at
+    all. Positions 1-based per the oracle subscript convention; empty
+    text yields no rows."""
+    from .functions.analyze import tokens_col
+
+    lit = literal_df(spark, _ANALYZE_TEXTS, "text_id string, text string")
+    return lit.select(
+        "text_id", F.posexplode(tokens_col("text")).alias("pos0", "token")
+    ).select("text_id", (F.col("pos0") + 1).cast("int").alias("position"), "token")
+
+
+def _sql_analyze() -> str:
+    rows = ", ".join(
+        "('{}', '{}')".format(tid, txt.replace("'", "''")) for tid, txt in _ANALYZE_TEXTS
+    )
+    return f"""
+WITH t(text_id, text) AS (VALUES {rows})
+SELECT text_id,
+       CAST(generate_subscripts({duckdb_tokens_expr('text')}, 1) AS INT) AS position,
+       unnest({duckdb_tokens_expr('text')}) AS token
+FROM t
+"""
+
+
+SQL_ANALYZE_API = _sql_analyze()
+
+
+_SPAN_NOT_INCLUDE = "sort"
+_SPAN_NOT_EXCLUDE = "merge"
+_SPAN_NOT_DIST = 2
+
+
+def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_not`` query parity: match docs with an occurrence of
+    the include term having NO exclude-term occurrence within ``dist``
+    positions (pre/post), ranked by the include term's BM25. Both
+    posting lists come partition-pruned from the positional index; the
+    span test is a nested JVM ``forall``/``exists`` over the two
+    position arrays — never a corpus re-tokenize. Docs without the
+    exclude term at all match trivially (left join, null positions)."""
+    from .operators import index_build as IB
+
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    terms = [_SPAN_NOT_INCLUDE, _SPAN_NOT_EXCLUDE]
+    td = {
+        r["term"]: (int(r["df"]), int(r["term_bucket"]))
+        for r in idx.termdict.filter(F.col("term").isin(terms)).collect()
+    }
+    df_t = td.get(_SPAN_NOT_INCLUDE, (0, -1))[0]
+    buckets = sorted({b for _, b in td.values()})
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("term_bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        )
+    )
+    inc = posts.filter(F.col("term") == _SPAN_NOT_INCLUDE).select(
+        "doc_id", "tf", "doclen", F.col("positions").alias("pi")
+    )
+    exc = posts.filter(F.col("term") == _SPAN_NOT_EXCLUDE).select(
+        "doc_id", F.col("positions").alias("pe")
+    )
+    d = F.lit(_SPAN_NOT_DIST).cast("long")
+    cand = inc.join(exc, "doc_id", "left").filter(
+        F.col("pe").isNull()
+        | F.exists(
+            "pi",
+            lambda a: ~F.exists("pe", lambda b: (b >= a - d) & (b <= a + d)),
+        )
+    )
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    scored = cand.select(
+        "doc_id",
+        F.round(
+            F.lit(bm25.idf(n_docs, df_t))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _sql_span_not() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT i.doc_id
+  FROM posns i
+  WHERE i.term = '{_SPAN_NOT_INCLUDE}'
+    AND NOT EXISTS (
+      SELECT 1 FROM posns e
+      WHERE e.doc_id = i.doc_id AND e.term = '{_SPAN_NOT_EXCLUDE}'
+        AND e.pos BETWEEN i.pos - {_SPAN_NOT_DIST} AND i.pos + {_SPAN_NOT_DIST}
+    )
+),
+scored AS (
+  SELECT p.doc_id,
+         round(ln(1 + (c.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/c.avgdl)), 6) AS score
+  FROM postings p
+  JOIN matched m ON p.doc_id = m.doc_id
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+  WHERE p.term = '{_SPAN_NOT_INCLUDE}'
+),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPAN_NOT_TOPK = _sql_span_not()
+
+
 _MIN_SCORE = 1.5
 
 
@@ -5580,6 +5827,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_categorize_text_agg": q_categorize_text_agg,
     "q_span_first_topk": q_span_first_topk,
     "q_min_score": q_min_score,
+    "q_termvectors": q_termvectors,
+    "q_count_api": q_count_api,
+    "q_analyze_api": q_analyze_api,
+    "q_span_not_topk": q_span_not_topk,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -5702,4 +5953,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_categorize_text_agg": SQL_CATEGORIZE_TEXT_AGG,
     "q_span_first_topk": SQL_SPAN_FIRST_TOPK,
     "q_min_score": SQL_MIN_SCORE,
+    "q_termvectors": SQL_TERMVECTORS,
+    "q_count_api": SQL_COUNT_API,
+    "q_analyze_api": SQL_ANALYZE_API,
+    "q_span_not_topk": SQL_SPAN_NOT_TOPK,
 }

@@ -339,3 +339,22 @@ def test_change_point_windows_run_over_bucket_series(spark, sf_tiny):
     win_ids = [int(i) for i, op in nodes if op == "Window"]
     assert agg_ids and win_ids, plan[:2000]
     assert max(agg_ids) < min(win_ids), nodes
+
+
+def test_termvectors_prunes_doc_range_partitions(spark, sf_tiny):
+    """The _termvectors doc-axis lookup must read only the requested
+    docs' range_id partitions (derived driver-side from the effective
+    range width), never the whole blocks table."""
+    df = C.SPARK_QUERIES["q_termvectors"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [isnotnull(range_id")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_count_api_broadcasts_query_terms(spark, sf_tiny):
+    """_count is a semi-join from term-pushed postings to a distinct
+    count: the query-term literal must broadcast and the absent-term
+    query must NOT force a corpus-sized outer join (the left join runs
+    over the 8-row query-key literal)."""
+    df = C.SPARK_QUERIES["q_count_api"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct", "Scan ExistingRDD")
