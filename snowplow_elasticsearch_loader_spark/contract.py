@@ -5430,6 +5430,124 @@ SQL_SPAN_FIRST_TOPK = _sql_span_first()
 
 
 # ---------------------------------------------------------------------------
+# ES pipeline-agg parity, batch 11: cumulative_cardinality, normalize,
+# moving_percentiles
+
+
+def q_cumulative_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg parity: per day, the
+    count of DISTINCT users seen up to and including that day (the
+    'new users accumulating' curve). Exact, in two bucket-sized steps:
+    each user contributes on their FIRST day (one corpus-keyed agg on
+    user_id), then a cumulative sum over the day series — never a
+    day-by-day distinct union. ES computes this from merged HLL
+    sketches; the exact form hash-matches the oracle and the HLL swap
+    is the same documented on q_cardinality_agg. Scale: one exchange
+    on user_id + windows over O(#days) rows."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("nu"))
+        .select("day", F.sum("nu").over(w).alias("cumulative_unique_users"))
+    )
+
+
+SQL_CUMULATIVE_CARDINALITY_AGG = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
+),
+first_day AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+new_per_day AS (SELECT day, count(*) AS nu FROM first_day GROUP BY 1),
+days AS (SELECT DISTINCT day FROM ev)
+SELECT d.day,
+       CAST(sum(coalesce(n.nu, 0)) OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_unique_users
+FROM days d LEFT JOIN new_per_day n ON d.day = n.day
+"""
+
+
+def q_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline agg parity (method percent_of_sum):
+    each daily bucket's sum as a percentage of the series total. The
+    normalization is one total over the bucket series (O(#days)); the
+    only corpus-sized work is the partial-agg scan that built the
+    buckets."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    w = Window.partitionBy()
+    return buckets.select(
+        "day",
+        "sum_value",
+        F.round(F.lit(100.0) * F.col("sum_value") / F.sum("sum_value").over(w), 6).alias(
+            "percent_of_sum"
+        ),
+    )
+
+
+SQL_NORMALIZE_AGG = """
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, sum_value,
+       round(100.0 * sum_value / sum(sum_value) OVER (), 6) AS percent_of_sum
+FROM buckets
+"""
+
+
+_MOVING_PCT_WINDOW = 7
+
+
+def q_moving_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg parity: the median of
+    the previous ``window`` daily bucket sums (ES shift=0 — the window
+    ends at the PREVIOUS bucket, so the first bucket is null). Exact
+    interpolated percentile over the bucket series (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the q_boxplot_agg
+    contract); ES's t-digest is the documented exact→approx swap.
+    Derived values compute from the ROUNDED bucket sums in day order,
+    keeping interpolation bit-identical across engines."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    w = (
+        Window.orderBy("day").rowsBetween(-_MOVING_PCT_WINDOW, -1)
+    )
+    return buckets.select(
+        "day",
+        "sum_value",
+        F.round(F.expr("percentile(sum_value, 0.5)").over(w), 6).alias("moving_p50"),
+    )
+
+
+SQL_MOVING_PERCENTILES_AGG = f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, sum_value,
+       round(quantile_cont(sum_value, 0.5) OVER (
+         ORDER BY day ROWS BETWEEN {_MOVING_PCT_WINDOW} PRECEDING AND 1 PRECEDING
+       ), 6) AS moving_p50
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
 # ES API parity, batch 10: termvectors, _count, _analyze, span_not
 
 _TERMVECTORS_DOC_IDS = [5, 17]
@@ -5831,6 +5949,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_api": q_count_api,
     "q_analyze_api": q_analyze_api,
     "q_span_not_topk": q_span_not_topk,
+    "q_cumulative_cardinality_agg": q_cumulative_cardinality_agg,
+    "q_normalize_agg": q_normalize_agg,
+    "q_moving_percentiles_agg": q_moving_percentiles_agg,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -5957,4 +6078,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_count_api": SQL_COUNT_API,
     "q_analyze_api": SQL_ANALYZE_API,
     "q_span_not_topk": SQL_SPAN_NOT_TOPK,
+    "q_cumulative_cardinality_agg": SQL_CUMULATIVE_CARDINALITY_AGG,
+    "q_normalize_agg": SQL_NORMALIZE_AGG,
+    "q_moving_percentiles_agg": SQL_MOVING_PERCENTILES_AGG,
 }
