@@ -178,18 +178,31 @@ def pinned_build(n_cores: int, corpus: str, warm_corpus: str) -> tuple[float, fl
         "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
         "--build-child", f"local[{n_cores}]", corpus, warm_corpus,
     ]
-    # one retry: a child that dies without printing its result line
-    # (JVM OOM-kill, py4j teardown crash) must cost ONE pair, not the
-    # whole run — run u died at pair 4 of a 10-pair budget on this
+    # one retry covering BOTH failure shapes: a child that dies without
+    # printing its result line (JVM OOM-kill, py4j teardown crash) AND a
+    # child that hangs past the timeout — either must cost ONE attempt,
+    # not the whole pair (r4 ADVICE: TimeoutExpired used to propagate
+    # past this loop on the first attempt, skipping the promised retry)
     r = None
     for child_try in range(2):
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800, env=os.environ
-        )
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800, env=os.environ
+            )
+        except subprocess.TimeoutExpired:
+            log(f"build child (local[{n_cores}]) timed out (attempt {child_try + 1}/2)")
+            continue
         lines = out.stdout.strip().splitlines()
         if lines:
             try:
                 r = json.loads(lines[-1])
+                if out.returncode != 0:
+                    # teardown crash after the result printed: the
+                    # measurement is valid but say so out loud
+                    log(
+                        f"build child (local[{n_cores}]) exited rc={out.returncode} "
+                        f"AFTER printing a parseable result — accepting it"
+                    )
                 break
             except ValueError:
                 pass
@@ -240,6 +253,23 @@ def _build_child(master: str, corpus: str, warm_corpus: str) -> None:
         "sec": dt, "ctl_sec": ctl, "ctl_post_sec": ctl_post,
         "turns": n, "stages": stages,
     }))
+
+
+def _compute_probe() -> float:
+    """Fixed pure-compute batch (numpy alloc+sort, one task per CPU) at
+    full parallelism — the headline section's window evidence. Absolute
+    seconds, comparable across rounds on this host; a degraded window
+    reads 1.5-3x the clean value."""
+    import multiprocessing as mp
+
+    from snowplow_elasticsearch_loader_spark.session import apply_malloc_tuning
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(CPUS, initializer=apply_malloc_tuning) as pool:
+        pool.map(_probe_task, range(CPUS), chunksize=1)  # fault heaps in
+        t0 = time.time()
+        pool.map(_probe_task, range(2 * CPUS), chunksize=1)
+        return time.time() - t0
 
 
 def _probe_task(i: int) -> int:
@@ -409,6 +439,18 @@ def main() -> None:
 
     total = 0.0
     if not skip_queries:
+        # Weather-proofing (r4 VERDICT #2: the r4 driver artifact was
+        # captured in a degraded host window and read 21.5s where the
+        # same code measured 14.3s clean — the scaling section is
+        # window-gated, the headline wasn't): run the whole headline
+        # set QUERY_REPS times and take per-query MEDIANS, bracketed by
+        # a fixed pure-compute probe (numpy alloc+sort batch at full
+        # parallelism) published with the artifact so a reader can see
+        # what the host delivered during the measurement. Noise here is
+        # strictly additive (steal/fault stalls only slow runs down),
+        # so the median over passes discards the slow-window passes.
+        query_reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+        probes = [_compute_probe()]
         spark = get_spark(f"local[{CPUS}]", app_name="bench-queries")
         spark.sparkContext.setLogLevel("ERROR")
         # index-backed queries are QUERIES over a persisted index, not
@@ -417,17 +459,32 @@ def main() -> None:
         # q_bm25_topk_wand with it and made the fast path look 2.2x slow)
         log("pre-building physical index (untimed) ...")
         contract._physical_index(spark, SF_DIR)
-        for name in HEADLINE:
-            fn = contract.SPARK_QUERIES[name]
-            t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            results["queries"][name] = round(dt, 3)
-            total += dt
-            log(f"query {name}: {dt:.2f}s")
+        reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+        for rep in range(query_reps):
+            for name in HEADLINE:
+                fn = contract.SPARK_QUERIES[name]
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                reps[name].append(dt)
+                log(f"query {name} (pass {rep + 1}/{query_reps}): {dt:.2f}s")
         spark.stop()
+        probes.append(_compute_probe())
+        for name in HEADLINE:
+            results["queries"][name] = round(statistics.median(reps[name]), 3)
+            total += results["queries"][name]
+        results["queries_runs"] = {
+            n: [round(x, 3) for x in xs] for n, xs in reps.items()
+        }
+        results["queries_probe_sec"] = [round(p, 2) for p in probes]
+        results["queries_reps"] = query_reps
+        log(f"headline total (per-query medians over {query_reps} passes): "
+            f"{total:.2f}s | probes {results['queries_probe_sec']}")
     else:
         results["queries"] = prev.get("queries", {})
+        results["queries_runs"] = prev.get("queries_runs", {})
+        results["queries_probe_sec"] = prev.get("queries_probe_sec", [])
+        results["queries_reps"] = prev.get("queries_reps", 0)
         total = float(prev.get("value", 0.0))
 
     # ---- 2. index-build scaling (N vs 4N cores, pinned) ----
@@ -820,6 +877,9 @@ def _finish(results, total, t_all, prev, skip_latency):
         "value": round(total, 3),
         "unit": "sec",
         "queries": results["queries"],
+        "queries_runs": results.get("queries_runs", {}),
+        "queries_probe_sec": results.get("queries_probe_sec", []),
+        "queries_reps": results.get("queries_reps", 0),
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "build": results["build"],
         "bm25_latency_ms": results["bm25_latency_ms"],

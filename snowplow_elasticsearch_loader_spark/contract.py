@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -664,16 +664,45 @@ _FUZZY_PROBES = ["mergee", "jion", "sparc"]
 _FUZZY_MAX_EXPANSIONS = 50
 
 
+def _deletion_variants(col_name: str) -> Column:
+    """SymSpell deletion neighborhood for edit distance 1: the string
+    itself plus every single-character deletion. Two strings are within
+    classic Levenshtein 1 ONLY IF their neighborhoods intersect (the
+    converse needs a verify — delete-different-chars pairs like ab/ba
+    share a variant at distance 2), so exploding both sides and
+    equi-joining on the variant prunes the dictionary the way ES's FST
+    automaton walk does, without a nested-loop edit-distance join."""
+    return F.expr(
+        f"array_union(array({col_name}), transform(sequence(1, length({col_name})),"
+        f" i -> concat(substring({col_name}, 1, i-1), substring({col_name}, i+1))))"
+    )
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES fuzzy-query parity: each probe expands to the index terms
     within Levenshtein distance 1 (classic distance on both engines;
-    ES's default is Damerau — transposition=1 — so a transposed pair
-    here costs 2, documented deviation), capped at the df-highest
+    ES's default is Damerau — transposition=1 — see
+    ``q_fuzzy_damerau_topk`` for that mode), capped at the df-highest
     ``max_expansions`` terms (ES's cap, ties term asc), then scored as
     BM25 over the expanded terms with qtf=1 each. The expansion walks
-    the TERM DICTIONARY only (ES's automaton walk analog) and the
-    matched set is collected driver-side — metadata-sized, exactly
-    like query-term stats — so the postings scan stays term-pushed."""
+    the TERM DICTIONARY only (ES's automaton walk analog) via a
+    SymSpell deletion-neighborhood EQUI-join (term dict exploded to
+    len+1 delete-variants, hash-joined against the probes' variants,
+    then a levenshtein<=1 verify on the tiny candidate set) — a 100M-
+    term dictionary is pruned by the hash join instead of paying
+    |dict| x |probes| edit-distance evaluations; the matched set is
+    collected driver-side — metadata-sized, exactly like query-term
+    stats — so the postings scan stays term-pushed."""
+    return _fuzzy_expand_topk(spark, sf_dir, damerau=False)
+
+
+def _adjacent_transpositions(s: str) -> list[str]:
+    """All single adjacent-transposition neighbors of ``s`` (the one
+    edit Damerau counts as 1 that classic Levenshtein counts as 2)."""
+    return sorted({s[:i] + s[i + 1] + s[i] + s[i + 2:] for i in range(len(s) - 1)} - {s})
+
+
+def _fuzzy_expand_topk(spark: SparkSession, sf_dir: str, damerau: bool) -> DataFrame:
     docs = _docs(spark, sf_dir)
     posts = P.build_postings(docs)
     ds = P.doc_stats(docs)
@@ -681,14 +710,31 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
     probes = literal_df(spark, [(p,) for p in _FUZZY_PROBES], "query_id string")
-    matched = (
-        ts.join(
-            F.broadcast(probes),
-            F.levenshtein(F.col("term"), F.col("query_id")) <= 1,
-        )
-        .select("query_id", "term", "df")
-        .collect()
+    probe_vars = probes.select(
+        "query_id", F.explode(_deletion_variants("query_id")).alias("v")
+    ).distinct()
+    term_vars = ts.select(
+        "term", "df", F.explode(_deletion_variants("term")).alias("v")
     )
+    cand = (
+        term_vars.join(F.broadcast(probe_vars), "v")
+        .select("query_id", "term", "df")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.col("query_id")) <= 1)
+    )
+    if damerau:
+        # Damerau-1 = classic-1 UNION single adjacent transposition; the
+        # transposition neighborhood of the (literal) probes is generated
+        # driver-side and equi-joined against the term dictionary.
+        trans_rows = [
+            (p, v) for p in _FUZZY_PROBES for v in _adjacent_transpositions(p)
+        ]
+        if trans_rows:
+            trans = literal_df(spark, trans_rows, "query_id string, term string")
+            cand = cand.unionByName(
+                ts.join(F.broadcast(trans), "term").select("query_id", "term", "df")
+            ).distinct()
+    matched = cand.collect()
     by_probe: dict[str, list] = {}
     for r in matched:
         by_probe.setdefault(r["query_id"], []).append((r["term"], int(r["df"])))
@@ -712,6 +758,37 @@ qterms AS (SELECT query_id, term, CAST(1.0 AS DOUBLE) AS qtf FROM exp0 WHERE xr 
 
 SQL_FUZZY_TOPK = f"""
 {_sql_bm25_scored_cte(qterms_cte=_SQL_FUZZY_QTERMS)},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_fuzzy_damerau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query with its DEFAULT distance: Damerau (adjacent
+    transposition costs 1, e.g. probe 'jion' now reaches 'join').
+    Expansion = the classic deletion-neighborhood equi-join of
+    ``q_fuzzy_topk`` UNION an equi-join of the probes' adjacent-
+    transposition neighborhood (generated driver-side — probes are
+    query literals) against the term dictionary; for max edit
+    distance 1 that union is EXACTLY the Damerau-1 ball. Oracle twin
+    uses DuckDB's native damerau_levenshtein."""
+    return _fuzzy_expand_topk(spark, sf_dir, damerau=True)
+
+
+_SQL_FUZZY_DAMERAU_QTERMS = f"""probes(query_id) AS (VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}),
+exp0 AS (
+  SELECT p.query_id, t.term,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY t.df DESC, t.term ASC) AS xr
+  FROM probes p JOIN tstats t ON damerau_levenshtein(p.query_id, t.term) <= 1
+),
+qterms AS (SELECT query_id, term, CAST(1.0 AS DOUBLE) AS qtf FROM exp0 WHERE xr <= {_FUZZY_MAX_EXPANSIONS})"""
+
+SQL_FUZZY_DAMERAU_TOPK = f"""
+{_sql_bm25_scored_cte(qterms_cte=_SQL_FUZZY_DAMERAU_QTERMS)},
 ranked AS (
   SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
@@ -5216,10 +5293,17 @@ def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a random p-fraction of matching docs and scale doc_count back
     up by 1/p. ES samples per shard with a seeded hash; here the seed
     is a fixed LCG over doc_id so the Spark and oracle samples are
-    bit-identical. The predicate is a scan-level filter (no shuffle
-    added); the agg over the sample is one partial-agg'd exchange."""
+    bit-identical. doc_id is reduced mod 2^31 BEFORE the multiply so
+    the product stays below 2^61 and never overflows int64 — without
+    the reduction, doc_id > ~8.4e9 (routine at 10^12-turn scale) wraps
+    silently in Spark while DuckDB raises, and the engines diverge.
+    The predicate is a scan-level filter (no shuffle added); the agg
+    over the sample is one partial-agg'd exchange."""
     docs = _docs(spark, sf_dir)
-    h = ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)) % F.lit(100)
+    h = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
+        % F.lit(2147483648)
+    ) % F.lit(100)
     samp = docs.filter(h < _SAMPLER_PCT)
     return samp.agg(
         F.count(F.lit(1)).alias("sample_docs"),
@@ -5233,7 +5317,7 @@ SELECT count(*) AS sample_docs,
        round(count(*) / {_SAMPLER_PCT / 100.0!r}, 6) AS est_total_docs,
        round(avg(n_chars), 6) AS avg_n_chars
 FROM documents
-WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < {_SAMPLER_PCT}
+WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < {_SAMPLER_PCT}
 """
 
 
@@ -5832,56 +5916,18 @@ SELECT query_id, doc_id, score FROM scored WHERE score >= {_MIN_SCORE!r}
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- driver oracle window: the driver hash-checks list(SPARK_QUERIES)[:50]
+    # at sf0.01 each round. r5 rotation (VERDICT r4 task #1): 5 load-bearing
+    # anchors + 45 entries that have never had a driver row (r4's ES-DSL
+    # parity suite + this round's additions). Cumulative driver coverage per
+    # entry is recorded in COVERAGE.md.
+    # anchors (driver-green r1-r4, kept in-window):
     "q_postings_tf": q_postings_tf,
-    "q_doc_stats": q_doc_stats,
-    "q_term_stats": q_term_stats,
-    "q_corpus_stats": q_corpus_stats,
     "q_bm25_topk": q_bm25_topk,
-    "q_bm25_topk_quantized": q_bm25_topk_quantized,
-    "q_bm25_and_topk": q_bm25_and_topk,
-    "q_match_all": q_match_all,
-    "q_phrase_topk": q_phrase_topk,
-    "q_postings_blocks_decode": q_postings_blocks_decode,
     "q_bm25_topk_wand": q_bm25_topk_wand,
-    "q_shard_routing": q_shard_routing,
-    "q_events_rollup": q_events_rollup,
-    "q_badrow_split": q_badrow_split,
-    "q_lineitem_pricing": q_lineitem_pricing,
-    "q_top_customers": q_top_customers,
-    "q_token_count": q_token_count,
-    "q_text_quality": q_text_quality,
-    "q_lang_id": q_lang_id,
-    "q_fingerprint": q_fingerprint,
-    "q_dedup_exact": q_dedup_exact,
-    "q_minhash_signatures": q_minhash_signatures,
-    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "q_neardup_clusters": q_neardup_clusters,
-    "q_simhash": q_simhash,
-    "q_ann_cosine_topk": q_ann_cosine_topk,
-    "q_ann_lsh_topk": q_ann_lsh_topk,
-    "q_ann_ivf_topk": q_ann_ivf_topk,
-    "q_ann_ivf_topk_materialized": q_ann_ivf_topk_materialized,
-    "q_embed_neardup_pairs": q_embed_neardup_pairs,
-    "q_badrow_normalize": q_badrow_normalize,
-    "q_badrow_transform": q_badrow_transform,
-    "q_limit_error_count": q_limit_error_count,
-    "q_payload_decompress": q_payload_decompress,
+    "q_postings_blocks_decode": q_postings_blocks_decode,
     "q_streaming_postings": q_streaming_postings,
-    "q_bm25_filtered_topk": q_bm25_filtered_topk,
-    "q_bm25_not_topk": q_bm25_not_topk,
-    "q_search_fetch": q_search_fetch,
-    "q_highlight_positions": q_highlight_positions,
-    "q_bm25_topk_page2": q_bm25_topk_page2,
-    "q_bm25_search_after": q_bm25_search_after,
-    "q_terms_agg": q_terms_agg,
-    "q_prefix_topk": q_prefix_topk,
-    "q_bm25_collapse_topk": q_bm25_collapse_topk,
-    "q_lang_facet": q_lang_facet,
-    "q_sig_terms": q_sig_terms,
-    "q_fuzzy_topk": q_fuzzy_topk,
-    "q_explain_scores": q_explain_scores,
-    "q_mlt_topk": q_mlt_topk,
+    # never-driver-rowed before r5 (45):
     "q_wildcard_topk": q_wildcard_topk,
     "q_min_should_match_topk": q_min_should_match_topk,
     "q_top_hits_agg": q_top_hits_agg,
@@ -5925,6 +5971,56 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_serial_diff_agg": q_serial_diff_agg,
     "q_auto_date_histogram": q_auto_date_histogram,
     "q_dis_max_topk": q_dis_max_topk,
+    "q_random_sampler_agg": q_random_sampler_agg,
+    "q_fuzzy_damerau_topk": q_fuzzy_damerau_topk,
+    # --- below position 50: driver-green in r1-r4 (rotated out; pytest
+    # oracle parametrization still covers every entry at sf0.001):
+    "q_doc_stats": q_doc_stats,
+    "q_term_stats": q_term_stats,
+    "q_corpus_stats": q_corpus_stats,
+    "q_bm25_topk_quantized": q_bm25_topk_quantized,
+    "q_bm25_and_topk": q_bm25_and_topk,
+    "q_match_all": q_match_all,
+    "q_phrase_topk": q_phrase_topk,
+    "q_shard_routing": q_shard_routing,
+    "q_events_rollup": q_events_rollup,
+    "q_badrow_split": q_badrow_split,
+    "q_lineitem_pricing": q_lineitem_pricing,
+    "q_top_customers": q_top_customers,
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_neardup_clusters": q_neardup_clusters,
+    "q_simhash": q_simhash,
+    "q_ann_cosine_topk": q_ann_cosine_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_ivf_topk_materialized": q_ann_ivf_topk_materialized,
+    "q_embed_neardup_pairs": q_embed_neardup_pairs,
+    "q_badrow_normalize": q_badrow_normalize,
+    "q_badrow_transform": q_badrow_transform,
+    "q_limit_error_count": q_limit_error_count,
+    "q_payload_decompress": q_payload_decompress,
+    "q_bm25_filtered_topk": q_bm25_filtered_topk,
+    "q_bm25_not_topk": q_bm25_not_topk,
+    "q_search_fetch": q_search_fetch,
+    "q_highlight_positions": q_highlight_positions,
+    "q_bm25_topk_page2": q_bm25_topk_page2,
+    "q_bm25_search_after": q_bm25_search_after,
+    "q_terms_agg": q_terms_agg,
+    "q_prefix_topk": q_prefix_topk,
+    "q_bm25_collapse_topk": q_bm25_collapse_topk,
+    "q_lang_facet": q_lang_facet,
+    "q_sig_terms": q_sig_terms,
+    "q_fuzzy_topk": q_fuzzy_topk,
+    "q_explain_scores": q_explain_scores,
+    "q_mlt_topk": q_mlt_topk,
+    # never driver-checked (local pytest oracle only; see COVERAGE.md):
     "q_constant_score_topk": q_constant_score_topk,
     "q_ids_query": q_ids_query,
     "q_percolate": q_percolate,
@@ -5940,7 +6036,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_filtered_topk": q_knn_filtered_topk,
     "q_rrf_hybrid_topk": q_rrf_hybrid_topk,
     "q_pinned_topk": q_pinned_topk,
-    "q_random_sampler_agg": q_random_sampler_agg,
     "q_change_point_agg": q_change_point_agg,
     "q_categorize_text_agg": q_categorize_text_agg,
     "q_span_first_topk": q_span_first_topk,
@@ -6009,6 +6104,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_lang_facet": SQL_LANG_FACET,
     "q_sig_terms": SQL_SIG_TERMS,
     "q_fuzzy_topk": SQL_FUZZY_TOPK,
+    "q_fuzzy_damerau_topk": SQL_FUZZY_DAMERAU_TOPK,
     "q_explain_scores": SQL_EXPLAIN_SCORES,
     "q_mlt_topk": SQL_MLT_TOPK,
     "q_wildcard_topk": SQL_WILDCARD_TOPK,
