@@ -76,9 +76,9 @@ class QueryEngine:
         self.driver_eval_max_blocks = int(
             os.environ.get("SPARK_GRAFT_DRIVER_EVAL_MAX_BLOCKS", "50000")
         )
-        # per-term gathered-block cache (the ES node-query-cache
+        # per-term DECODED-postings cache (the ES node-query-cache
         # analog): repeated hot terms skip the scan job entirely.
-        # LRU-evicted at ~256 MB of encoded postings.
+        # LRU-evicted at ~256 MB of decoded posting arrays.
         self._block_cache: dict[str, object] = {}
         self._block_cache_bytes = 0
         self.block_cache_max_bytes = int(
@@ -192,21 +192,29 @@ class QueryEngine:
         score, asc doc_id) mirrors the distributed path exactly.
 
         The per-term cache is a true LRU (hits refresh recency) and the
-        CURRENT query's frames are held in a local dict before any
+        CURRENT query's entries are held in a local dict before any
         eviction runs, so cache pressure can never drop a term this
-        query needs (it at worst bypasses the cache for that term)."""
+        query needs (it at worst bypasses the cache for that term).
+
+        The cache stores DECODED postings (doc int64 / tf float64 /
+        dl-already-quantized float64 numpy arrays), not encoded varint
+        frames: a hot high-df term used to pay its full varint decode
+        on every query it appeared in, which set the warm-path p99
+        (r5; the decode is paid once at first touch, and the per-query
+        work drops to pure float scoring over the arrays). Budget
+        accounting uses the decoded array bytes."""
         import pandas as pd
 
         spark = self.idx.spark
         hit_terms = sorted(t for t in {t for _, t, _ in qrows} if t in tmap)
         needed = set(hit_terms)
-        qframes: dict[str, object] = {}
+        qdecs: dict[str, tuple] = {}
         missing: list[str] = []
         for t in hit_terms:
             ent = self._block_cache.pop(t, None)
             if ent is not None:
                 self._block_cache[t] = ent  # re-insert = refresh LRU recency
-                qframes[t] = ent[0]
+                qdecs[t] = ent[0]
             else:
                 missing.append(t)
         if missing:
@@ -215,11 +223,9 @@ class QueryEngine:
             grouped = {t: g.reset_index(drop=True) for t, g in fetched.groupby("term", sort=False)}
             for t in missing:
                 g = grouped.get(t, fetched.iloc[0:0])
-                qframes[t] = g
-                nbytes = int(
-                    sum(len(x) for c in ("docs_varint", "tfs_varint", "dls_varint")
-                        for x in g[c])
-                )
+                dec = self._decode_frame(g)
+                qdecs[t] = dec
+                nbytes = int(dec[0].nbytes + dec[1].nbytes + dec[2].nbytes)
                 # evict LRU-first, but never a term the current query
                 # holds; if only needed terms remain and the budget is
                 # still exceeded, bypass the cache for this term
@@ -232,11 +238,9 @@ class QueryEngine:
                     _, ob = self._block_cache.pop(victim)
                     self._block_cache_bytes -= ob
                 if self._block_cache_bytes + nbytes <= self.block_cache_max_bytes:
-                    self._block_cache[t] = (g, nbytes)
+                    self._block_cache[t] = (dec, nbytes)
                     self._block_cache_bytes += nbytes
-        parts = [qframes[t] for t in hit_terms]
-        pdf = pd.concat(parts, ignore_index=True) if parts else None
-        if pdf is None or len(pdf) == 0:
+        if not any(qdecs[t][0].size for t in hit_terms):
             return (
                 spark.createDataFrame([], schema=RESULT_SCHEMA)
                 .select("query_id", F.lit(1).alias("rank"), "doc_id", "score")
@@ -250,10 +254,17 @@ class QueryEngine:
                 )
         frames = []
         for qid, wmap in by_query.items():
-            sub = pdf[pdf["term"].isin(list(wmap))]
-            if len(sub) == 0:
+            # ascending-term block order matches the old np.unique sort,
+            # so the (doc, term) accumulation order — and the scores —
+            # are bit-identical to the distributed evaluator
+            terms_q = [t for t in sorted(wmap) if t in qdecs and qdecs[t][0].size]
+            if not terms_q:
                 continue
-            frames.append(self._exact_topk_pandas(qid, sub, wmap, k))
+            frames.append(
+                self._exact_topk_decoded(
+                    qid, [qdecs[t] for t in terms_q], [wmap[t] for t in terms_q], k
+                )
+            )
         if not frames:
             return (
                 spark.createDataFrame([], schema=RESULT_SCHEMA)
@@ -325,22 +336,22 @@ class QueryEngine:
             .toPandas()
         )
 
-    def _exact_topk_pandas(self, qid: str, sub, wmap: dict[str, float], k: int):
-        """Exact BM25 over gathered candidate blocks, fully vectorized:
-        three whole-batch varint decodes (varints self-delimit, so the
-        block streams concatenate), one segment-cumsum to undo the
-        per-block delta restarts, one per-doc segment sum in the SAME
-        (doc, ascending term) accumulation order as the distributed
-        evaluator and the naive path — bit-identical scores."""
+    def _decode_frame(self, sub) -> tuple:
+        """Decode one term's gathered blocks into (doc int64, tf
+        float64, dl float64-quantized) arrays, fully vectorized: three
+        whole-batch varint decodes (varints self-delimit, so the block
+        streams concatenate) and one segment-cumsum to undo the
+        per-block delta restarts. Runs ONCE per term per cache
+        residency; queries score over the arrays directly."""
         import numpy as np
-        import pandas as pd
 
         from ..functions import codec
         from .bm25 import quantize_doclen_np
-        from .wand import _exact_scores
 
-        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
         cnt = sub["doc_count"].to_numpy(np.int64)
+        if cnt.size == 0:
+            z = np.empty(0, np.int64)
+            return z, z.astype(np.float64), z.astype(np.float64)
         gaps = codec.varint_decode(
             b"".join(bytes(x) for x in sub["docs_varint"])
         ).astype(np.int64)
@@ -355,9 +366,25 @@ class QueryEngine:
         ).astype(np.float64)
         if self.cfg.bm25.quantize_doclen:
             dl = quantize_doclen_np(dl)
-        terms_sorted, t_codes = np.unique(sub["term"].to_numpy(), return_inverse=True)
-        code = np.repeat(t_codes, cnt)
-        w_of = np.array([wmap[t] for t in terms_sorted], dtype=np.float64)
+        return doc, tf, dl
+
+    def _exact_topk_decoded(self, qid: str, decs: list[tuple], ws: list[float], k: int):
+        """Exact BM25 over decoded per-term postings, one per-doc
+        segment sum in the SAME (doc, ascending term) accumulation
+        order as the distributed evaluator and the naive path —
+        bit-identical scores (``decs`` arrive in ascending term
+        order)."""
+        import numpy as np
+        import pandas as pd
+
+        from .wand import _exact_scores
+
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        doc = np.concatenate([d[0] for d in decs])
+        tf = np.concatenate([d[1] for d in decs])
+        dl = np.concatenate([d[2] for d in decs])
+        code = np.repeat(np.arange(len(decs)), [d[0].size for d in decs])
+        w_of = np.asarray(ws, dtype=np.float64)
         contrib = w_of[code] * (tf * (k1 + 1.0)) / (
             tf + k1 * ((1.0 - b) + b * dl / self.avgdl)
         )

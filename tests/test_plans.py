@@ -358,3 +358,58 @@ def test_count_api_broadcasts_query_terms(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_count_api"](spark, sf_tiny)
     assert_in_plan(df, "BroadcastHashJoin")
     assert_not_in_plan(df, "CartesianProduct", "Scan ExistingRDD")
+
+
+def test_fuzzy_expansion_is_deletion_neighborhood_equijoin(spark, sf_tiny):
+    """The fuzzy expansion must prune the term dictionary through the
+    SymSpell deletion-neighborhood EQUI-join (hash join on the shared
+    delete-variant), never a BroadcastNestedLoopJoin evaluating
+    levenshtein against every dictionary term — the difference between
+    an FST-walk analog and 10^8 x P edit-distance evaluations on a
+    real corpus (VERDICT r4 #3)."""
+    from pyspark.sql import functions as F
+
+    from snowplow_elasticsearch_loader_spark.functions.localdf import literal_df
+    from snowplow_elasticsearch_loader_spark.operators import postings as P
+
+    docs = C._docs(spark, sf_tiny)
+    ts = P.term_stats(P.build_postings(docs))
+    probes = literal_df(spark, [(p,) for p in C._FUZZY_PROBES], "query_id string")
+    probe_vars = probes.select(
+        "query_id", F.explode(C._deletion_variants("query_id")).alias("v")
+    ).distinct()
+    term_vars = ts.select("term", "df", F.explode(C._deletion_variants("term")).alias("v"))
+    cand = (
+        term_vars.join(F.broadcast(probe_vars), "v")
+        .select("query_id", "term", "df")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.col("query_id")) <= 1)
+    )
+    assert_in_plan(cand, "BroadcastHashJoin")
+    assert_not_in_plan(cand, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_deletion_neighborhood_is_complete_for_distance_1():
+    """Property backing the equi-join rewrite: lev(a,b) <= 1 implies the
+    deletion neighborhoods intersect (the join can only LOSE a match if
+    this fails; false candidates are removed by the verify filter)."""
+    import itertools
+
+    def dn(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    alphabet = "abc"
+    words = ["".join(w) for n in range(0, 4) for w in itertools.product(alphabet, repeat=n)]
+    for a in words:
+        for b in words:
+            if lev(a, b) <= 1:
+                assert dn(a) & dn(b), (a, b)
