@@ -5913,6 +5913,200 @@ SELECT query_id, doc_id, score FROM scored WHERE score >= {_MIN_SCORE!r}
 
 
 # ---------------------------------------------------------------------------
+# ES API parity, batch 11 (r5): bucket_script, _msearch, gauss decay
+
+_BUCKET_SCRIPT_TYPE = "click"
+
+
+def q_bucket_script_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg parity (the docs' canonical
+    sales-ratio example): per daily bucket, a script computed from the
+    bucket's own sibling metrics — here ``100 * click_value /
+    total_value``. The script runs over the O(#days) bucket series
+    (driver-trivial); the only corpus-sized work is the partial-agg
+    scan that built both sibling sums in ONE pass (a single groupBy —
+    ES evaluates each sub-agg in the same bucket traversal, and the
+    conditional sum keeps it one shuffle here too). Derived values
+    compute from the ROUNDED bucket sums, keeping the division
+    bit-identical across engines (the pipeline-agg determinism
+    contract shared with q_normalize_agg)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == _BUCKET_SCRIPT_TYPE, F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("click_value"),
+    )
+    return buckets.select(
+        "day",
+        "total_value",
+        "click_value",
+        F.round(
+            F.lit(100.0) * F.col("click_value") / F.col("total_value"), 6
+        ).alias("click_pct"),
+    )
+
+
+SQL_BUCKET_SCRIPT_AGG = f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS total_value,
+         round(coalesce(sum(CASE WHEN event_type = '{_BUCKET_SCRIPT_TYPE}' THEN value END), 0.0), 6) AS click_value
+  FROM events GROUP BY 1
+)
+SELECT day, total_value, click_value,
+       round(100.0 * click_value / total_value, 6) AS click_pct
+FROM buckets
+"""
+
+
+_MSEARCH_TEXT = REFERENCE_QUERIES[0][1]
+
+
+def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch`` API parity: several independent search bodies in
+    one request, each answered as if sent alone, results tagged by body
+    position. Body 0 is a relevance query (BM25 top-k for one text),
+    body 1 a match_all with a size cap (constant _score = 1.0, ES
+    match_all semantics), mirroring the classic dashboard batch. Each
+    body keeps ITS OWN plan — msearch is transport-level batching, not
+    a query combinator — so the union is two independent top-k
+    subtrees under one job; at scale each body prunes/pushes down
+    exactly as it would alone (the reference issues its queries one
+    at a time over HTTP, core/ElasticsearchSink semantics)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    body0 = bm25.bm25_topk_naive(
+        posts, ds, ts, [("m-0", _MSEARCH_TEXT)], k=DEFAULT_K, cfg=CFG
+    ).select(
+        F.lit(0).cast("int").alias("search_idx"), "rank", "doc_id", "score"
+    )
+    w = Window.orderBy(F.asc("doc_id"))
+    body1 = (
+        docs.select("doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select(
+            F.lit(1).cast("int").alias("search_idx"),
+            "rank",
+            "doc_id",
+            F.lit(1.0).alias("score"),
+        )
+    )
+    return body0.unionByName(body1)
+
+
+def _sql_msearch() -> str:
+    qcte = f"""qraw AS (SELECT * FROM {queries_sql_values([("m-0", _MSEARCH_TEXT)])}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term)"""
+    return f"""
+{_sql_bm25_scored_cte(qterms_cte=qcte)},
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT CAST(0 AS INT) AS search_idx, rank, doc_id, score
+FROM ranked WHERE rank <= {DEFAULT_K}
+UNION ALL
+SELECT CAST(1 AS INT) AS search_idx, rank, doc_id, 1.0 AS score
+FROM (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank
+  FROM documents
+) WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_MSEARCH = _sql_msearch()
+
+
+#: gauss decay parameters (ES function_score decay syntax:
+#: origin/offset/scale/decay on a numeric field — multiplier
+#: exp(ln(decay) * (max(0, |field - origin| - offset) / scale)^2),
+#: 1.0 inside [origin - offset, origin + offset], `decay` at
+#: origin +/- scale).
+_DECAY_ORIGIN = 2000
+_DECAY_OFFSET = 100
+_DECAY_SCALE = 1000.0
+_DECAY_RATE = 0.5
+
+
+def q_decay_function_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` gauss-decay parity on a numeric field:
+    relevance multiplied by a gaussian of the field's distance from an
+    origin (the recency/geo-boost shape, applied to ``n_chars`` since
+    the synthetic docs carry no timestamp). The decay is a JVM column
+    expression over the already-scored candidates — one broadcast-sized
+    projection on top of q_bm25_topk's plan, never a Python UDF; at
+    100 TB the field rides the doc store the fetch phase reads anyway.
+    Both engines square the normalized distance by self-multiplication
+    on the same rounded inputs, keeping the transcendental chain
+    (one ln, one exp) bit-aligned; the 6-decimal ranking round is the
+    shared determinism contract."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    feat = docs.select(
+        "doc_id",
+        (
+            F.greatest(
+                F.abs(F.col("n_chars") - F.lit(_DECAY_ORIGIN)) - F.lit(_DECAY_OFFSET),
+                F.lit(0),
+            )
+            / F.lit(_DECAY_SCALE)
+        ).alias("_d"),
+    ).select(
+        "doc_id",
+        F.exp(F.log(F.lit(_DECAY_RATE)) * F.col("_d") * F.col("_d")).alias("_mult"),
+    )
+    total = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score") * F.col("_mult"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_DECAY_FUNCTION_TOPK = f"""
+{_sql_bm25_scored_cte()},
+decayed AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * exp(ln({_DECAY_RATE!r})
+           * (greatest(abs(d.n_chars - {_DECAY_ORIGIN}) - {_DECAY_OFFSET}, 0) / {_DECAY_SCALE!r})
+           * (greatest(abs(d.n_chars - {_DECAY_ORIGIN}) - {_DECAY_OFFSET}, 0) / {_DECAY_SCALE!r})), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM decayed
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6047,6 +6241,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cumulative_cardinality_agg": q_cumulative_cardinality_agg,
     "q_normalize_agg": q_normalize_agg,
     "q_moving_percentiles_agg": q_moving_percentiles_agg,
+    "q_bucket_script_agg": q_bucket_script_agg,
+    "q_msearch": q_msearch,
+    "q_decay_function_topk": q_decay_function_topk,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -6177,4 +6374,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_cumulative_cardinality_agg": SQL_CUMULATIVE_CARDINALITY_AGG,
     "q_normalize_agg": SQL_NORMALIZE_AGG,
     "q_moving_percentiles_agg": SQL_MOVING_PERCENTILES_AGG,
+    "q_bucket_script_agg": SQL_BUCKET_SCRIPT_AGG,
+    "q_msearch": SQL_MSEARCH,
+    "q_decay_function_topk": SQL_DECAY_FUNCTION_TOPK,
 }
