@@ -6107,6 +6107,471 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 
 
 # ---------------------------------------------------------------------------
+# ES API parity, batch 12 (r5 close): join-field parent/child, _mget,
+# _reindex, scroll, scripted_metric, runtime fields, _rank_eval
+
+#: synthetic join field: every _PC_CONV consecutive docs form one
+#: "conversation" parent (conv_id = doc_id DIV _PC_CONV) — the ES
+#: parent/child (join-field) data model over the transcript corpus.
+#: ES requires parent and children on the same shard (routing by
+#: parent id); DIV on the monotone doc id keeps each family inside one
+#: doc-id range partition here, the same co-location property, so the
+#: parent/child join below never crosses partitions at corpus scale.
+_PC_CONV = 8
+
+
+def _conv_col() -> Column:
+    return F.expr(f"CAST(doc_id DIV {_PC_CONV} AS BIGINT)").alias("conv_id")
+
+
+def q_has_child_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` query parity (``score_mode: max``): return
+    PARENT conversations ranked by the best BM25 score among their
+    child turns. The child scoring is exactly q_bm25_topk's plan; the
+    parent rollup is one more partial-aggregable max keyed by
+    conv_id = doc_id DIV k, which co-partitions with the doc-id range
+    layout (see _PC_CONV note) — no extra shuffle beyond the score
+    aggregation ES itself performs per shard."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    parents = scored.select("query_id", _conv_col(), "score").groupBy(
+        "query_id", "conv_id"
+    ).agg(F.max("score").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("conv_id"))
+    return (
+        parents.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "conv_id", "score")
+    )
+
+
+SQL_HAS_CHILD_TOPK = f"""
+{_sql_bm25_scored_cte()},
+parents AS (
+  SELECT query_id, doc_id // {_PC_CONV} AS conv_id, max(score) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, conv_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, conv_id ASC) AS INT) AS rank
+  FROM parents
+)
+SELECT query_id, rank, conv_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: has_parent: parents qualify by a parent-level property (here total
+#: child chars — a conversation-length gate); children additionally
+#: term-filtered. ~half the synthetic parents pass at every SF.
+_HAS_PARENT_MIN_CHARS = 2400
+_HAS_PARENT_CHILD_TERM = "the"
+
+
+def q_has_parent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent`` query parity: return child turns whose parent
+    conversation satisfies a parent-level predicate (total child chars
+    >= threshold), intersected with a term query on the child itself.
+    The parent predicate is a partial-aggregable sum over the same
+    co-partitioned conv_id key (no extra shuffle); the child term
+    filter is a postings semi-join that Catalyst pushes below it, so
+    at corpus scale the join fan-in is the hit set, not the corpus."""
+    docs = _docs(spark, sf_dir).withColumn("conv_id", _conv_col())
+    plen = docs.groupBy("conv_id").agg(F.sum("n_chars").alias("parent_chars"))
+    large = plen.filter(F.col("parent_chars") >= _HAS_PARENT_MIN_CHARS)
+    hits = (
+        P.build_postings(_docs(spark, sf_dir))
+        .filter(F.col("term") == _HAS_PARENT_CHILD_TERM)
+        .select("doc_id")
+    )
+    return (
+        docs.join(hits, "doc_id")
+        .join(large, "conv_id")
+        .select("doc_id", "conv_id", F.col("parent_chars").cast("long").alias("parent_chars"))
+    )
+
+
+SQL_HAS_PARENT_TOPK = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+fam AS (SELECT doc_id, doc_id // {_PC_CONV} AS conv_id, n_chars FROM documents),
+plen AS (
+  SELECT conv_id, CAST(sum(n_chars) AS BIGINT) AS parent_chars
+  FROM fam GROUP BY 1 HAVING sum(n_chars) >= {_HAS_PARENT_MIN_CHARS}
+)
+SELECT f.doc_id, f.conv_id, p.parent_chars
+FROM fam f
+JOIN plen p USING (conv_id)
+WHERE f.doc_id IN (SELECT doc_id FROM postings WHERE term = '{_HAS_PARENT_CHILD_TERM}')
+"""
+
+
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``children`` aggregation parity: bucket parents by a parent
+    field (the conversation starter's lang — the min-doc_id child, ES
+    join-field convention where the first turn carries the parent
+    document's metadata) and aggregate over each bucket's CHILD turns:
+    conversations, turns, mean turn length. Starter selection is a
+    min_by on the co-partitioned conv key; both aggregations are
+    partial-aggregable, so the whole plan is two map-side-combine
+    passes over the co-located family partitions."""
+    docs = _docs(spark, sf_dir).withColumn("conv_id", _conv_col())
+    starter = docs.groupBy("conv_id").agg(
+        F.min_by("lang", "doc_id").alias("starter_lang")
+    )
+    return (
+        docs.join(starter, "conv_id")
+        .groupBy("starter_lang")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+SQL_CHILDREN_AGG = f"""
+WITH fam AS (SELECT doc_id, doc_id // {_PC_CONV} AS conv_id, lang, n_chars FROM documents),
+starter AS (
+  SELECT conv_id, min_by(lang, doc_id) AS starter_lang FROM fam GROUP BY 1
+)
+SELECT s.starter_lang,
+       CAST(count(DISTINCT f.conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       round(avg(f.n_chars), 6) AS avg_chars
+FROM fam f JOIN starter s USING (conv_id)
+GROUP BY 1
+"""
+
+
+#: _mget ids: three present at every SF (doc ids are dense from 0) +
+#: one guaranteed-absent, exercising the per-id found flag.
+_MGET_IDS = [3, 7, 11, 999_999_999]
+
+
+def q_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_mget`` API parity: fetch an explicit id list from the doc
+    store, one row per REQUESTED id with found=1/0 (missing ids still
+    answer, ES _mget contract). The id list is a driver literal that
+    broadcasts; at corpus scale this is the doc-store point-lookup path
+    (the serving coordinator's pruned range read), never a scan.
+    Missing rows surface sentinel values ('' / -1) instead of NULLs to
+    keep the driver's value-hash NULL-free on both engines."""
+    ids = literal_df(spark, [(i,) for i in _MGET_IDS], "doc_id bigint")
+    docs = _docs(spark, sf_dir)
+    return F.broadcast(ids).join(docs, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("lang").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("found"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).cast("long").alias("n_chars"),
+    )
+
+
+SQL_MGET = f"""
+SELECT m.doc_id,
+       CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS found,
+       coalesce(d.lang, '') AS lang,
+       CAST(coalesce(d.n_chars, -1) AS BIGINT) AS n_chars
+FROM (VALUES {', '.join(f'({i})' for i in _MGET_IDS)}) AS m(doc_id)
+LEFT JOIN documents d ON m.doc_id = d.doc_id
+"""
+
+
+#: _reindex: new ids offset into a fresh namespace, ES-style
+#: dest-index rewrite with a painless-script field transform.
+_REINDEX_OFFSET = 1_000_000_000
+_REINDEX_LANG = "en"
+
+
+def q_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_reindex`` API parity: source-index scan filtered by a
+    query (lang = 'en'), each hit rewritten by a script (uppercased
+    source tag, new id namespace) into a dest index. Returned here as
+    the dest-index rows; the write path is index_store's idempotent
+    partition overwrite (S10), so a reindex is exactly one
+    scan->transform->bulk-sink lineage — the reference's whole loader
+    loop (core/ElasticsearchSink) expressed as one DataFrame plan.
+    Filter and projection both push to the parquet scan."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == _REINDEX_LANG)
+    return docs.select(
+        (F.col("doc_id") + F.lit(_REINDEX_OFFSET)).cast("long").alias("new_doc_id"),
+        "doc_id",
+        F.upper(F.col("source")).alias("source_upper"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+SQL_REINDEX = f"""
+SELECT CAST(doc_id + {_REINDEX_OFFSET} AS BIGINT) AS new_doc_id,
+       doc_id,
+       upper(source) AS source_upper,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE lang = '{_REINDEX_LANG}'
+"""
+
+
+_SCROLL_SIZE = 10
+_SCROLL_PAGES = 5
+_SCROLL_TEXT = REFERENCE_QUERIES[0][1]
+
+
+def q_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scroll API parity: a consistent deep-export cursor over one
+    query's full hit list, materialized as its first ``_SCROLL_PAGES``
+    fetches of ``_SCROLL_SIZE`` hits each, tagged by scroll page. The
+    contract scroll guarantees — stable order across fetches, no hit
+    repeated or skipped — fall out of the total (score DESC, doc_id
+    ASC) order the quantized-score determinism contract fixes; the
+    page id is arithmetic on the global rank. At corpus scale this is
+    one top-(pages*size) plan, not pages separate queries — the
+    sort-limit pushes down, unlike a naive offset loop."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    hits = bm25.bm25_topk_naive(
+        posts, ds, ts, [("s-0", _SCROLL_TEXT)], k=_SCROLL_SIZE * _SCROLL_PAGES, cfg=CFG
+    )
+    return hits.select(
+        F.expr(f"CAST((rank - 1) DIV {_SCROLL_SIZE} AS INT)").alias("scroll_page"),
+        "rank",
+        "doc_id",
+        "score",
+    )
+
+
+def _sql_scroll() -> str:
+    qcte = f"""qraw AS (SELECT * FROM {queries_sql_values([("s-0", _SCROLL_TEXT)])}),
+qtoks AS (
+  SELECT query_id, unnest({duckdb_tokens_expr('query_text')}) AS term FROM qraw
+),
+qterms AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf FROM qtoks GROUP BY query_id, term)"""
+    return f"""
+{_sql_bm25_scored_cte(qterms_cte=qcte)},
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT CAST((rank - 1) // {_SCROLL_SIZE} AS INT) AS scroll_page, rank, doc_id, score
+FROM ranked WHERE rank <= {_SCROLL_SIZE * _SCROLL_PAGES}
+"""
+
+
+SQL_SCROLL = _sql_scroll()
+
+
+def q_scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``scripted_metric`` aggregation parity (map/combine/reduce):
+    per-lang variance of doclen via the canonical sum-of-squares
+    script — map emits (len, len^2, 1) per doc, combine folds per
+    shard, reduce merges shard states and derives the variance. That
+    is EXACTLY Spark's partial aggregation: the groupBy below
+    map-side-combines the three sums per partition and reduces once,
+    so the "script" is the agg expression and the derived value
+    computes from exact integer sums (bit-identical across engines;
+    the only float op is the final division, rounded 6)."""
+    docs = _docs(spark, sf_dir)
+    ds = P.doc_stats(docs)
+    j = docs.select("doc_id", "lang").join(ds, "doc_id")
+    g = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doclen").cast("long").alias("sum_len"),
+        F.sum(F.col("doclen").cast("long") * F.col("doclen")).cast("long").alias("sum_sq"),
+    )
+    n = F.col("n_docs").cast("double")
+    mean = F.col("sum_len") / n
+    return g.select(
+        "lang",
+        "n_docs",
+        "sum_len",
+        F.round(F.col("sum_sq") / n - mean * mean, 6).alias("variance"),
+    )
+
+
+SQL_SCRIPTED_METRIC_AGG = f"""
+WITH {_DUCK_DSTATS}
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.doclen) AS BIGINT) AS sum_len,
+       round(CAST(sum(CAST(s.doclen AS BIGINT) * s.doclen) AS DOUBLE) / count(*)
+             - (CAST(sum(s.doclen) AS DOUBLE) / count(*))
+             * (CAST(sum(s.doclen) AS DOUBLE) / count(*)), 6) AS variance
+FROM documents d JOIN dstats s USING (doc_id)
+GROUP BY 1
+"""
+
+
+#: runtime field: a query-time computed class on n_chars (ES
+#: runtime_mappings — never materialized in the index).
+_RUNTIME_FIELD_SQL = "CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END"
+
+
+def q_runtime_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime-fields parity: a ``runtime_mappings`` field defined
+    in the search body (len_class, computed from n_chars at query
+    time), used BOTH as a query filter (len_class != 'short') and as a
+    returned field. ES evaluates runtime fields per hit at fetch/filter
+    time instead of reading doc values; here the computed column stays
+    a JVM expression over the doc store and the filter restricts
+    candidates only — df/avgdl remain index-wide, matching ES (a
+    runtime-field filter never changes index statistics)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    rt = docs.select("doc_id", F.expr(_RUNTIME_FIELD_SQL).alias("len_class")).filter(
+        F.col("len_class") != "short"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(rt, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "len_class", "score")
+    )
+
+
+SQL_RUNTIME_FIELD_TOPK = f"""
+{_sql_bm25_scored_cte()},
+rt AS (
+  SELECT doc_id, {_RUNTIME_FIELD_SQL} AS len_class FROM documents
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, r.len_class, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scored s JOIN rt r USING (doc_id)
+  WHERE r.len_class <> 'short'
+)
+SELECT query_id, rank, doc_id, len_class, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_rank_eval`` API parity: score the engine's own top-k
+    against a rated-document set, one row per query with precision@k,
+    recall@k, reciprocal rank, and binary-gain NDCG@k (ES's four
+    built-in metrics). Ratings are deterministic — a doc is relevant
+    iff it AND-matches every distinct query token — so both engines
+    derive the same judgment list from the same postings. Everything
+    after the (already index-pruned) top-k is arithmetic over
+    |queries| * k rows; the ideal-DCG series joins a k-row literal.
+    Queries with no hits (q-0006) report zeros, ES behavior."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    k = DEFAULT_K
+    topk_df = bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=k, cfg=CFG)
+
+    qt = sorted({(qid, t) for qid, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    qterms = literal_df(spark, qt, "query_id string, term string")
+    qm = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("m"))
+    rel = (
+        posts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .join(F.broadcast(qm), "query_id")
+        .filter(F.col("nt") == F.col("m"))
+        .select("query_id", "doc_id")
+    )
+    totrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("total_rel"))
+    ret = topk_df.groupBy("query_id").agg(F.count(F.lit(1)).alias("retrieved"))
+    hit = topk_df.join(rel, ["query_id", "doc_id"], "left_semi")
+    hstat = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("rel_ret"),
+        F.min("rank").alias("frank"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    pos = literal_df(spark, [(i,) for i in range(1, k + 1)], "i int")
+    idcg = (
+        totrel.join(F.broadcast(pos), F.col("i") <= F.least(F.col("total_rel"), F.lit(k)))
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    qlist = literal_df(spark, [(qid,) for qid, _ in REFERENCE_QUERIES], "query_id string")
+    out = (
+        qlist.join(ret, "query_id", "left")
+        .join(totrel, "query_id", "left")
+        .join(hstat, "query_id", "left")
+        .join(idcg, "query_id", "left")
+    )
+    rel_ret = F.coalesce(F.col("rel_ret"), F.lit(0)).cast("double")
+    return out.select(
+        "query_id",
+        F.round(
+            F.when(F.coalesce(F.col("retrieved"), F.lit(0)) > 0, rel_ret / F.col("retrieved")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision_at_k"),
+        F.round(
+            F.when(F.coalesce(F.col("total_rel"), F.lit(0)) > 0, rel_ret / F.col("total_rel")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("frank").isNotNull(), F.lit(1.0) / F.col("frank")).otherwise(F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+        F.round(
+            F.when(F.col("idcg").isNotNull() & F.col("dcg").isNotNull(), F.col("dcg") / F.col("idcg")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
+SQL_RANK_EVAL = f"""
+{_sql_bm25_scored_cte()},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+),
+topk AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {DEFAULT_K}),
+qdistinct AS (SELECT DISTINCT query_id, term FROM qterms),
+qm AS (SELECT query_id, count(*) AS m FROM qdistinct GROUP BY 1),
+relc AS (
+  SELECT t.query_id, p.doc_id, count(DISTINCT t.term) AS nt
+  FROM qdistinct t JOIN postings p USING (term) GROUP BY 1, 2
+),
+rel AS (
+  SELECT r.query_id, r.doc_id FROM relc r JOIN qm USING (query_id) WHERE r.nt = qm.m
+),
+totrel AS (SELECT query_id, count(*) AS total_rel FROM rel GROUP BY 1),
+ret AS (SELECT query_id, count(*) AS retrieved FROM topk GROUP BY 1),
+hit AS (SELECT t.query_id, t.rank FROM topk t JOIN rel USING (query_id, doc_id)),
+hstat AS (
+  SELECT query_id, count(*) AS rel_ret, min(rank) AS frank,
+         sum(1.0 / log2(rank + 1)) AS dcg
+  FROM hit GROUP BY 1
+),
+pos AS (SELECT unnest(generate_series(1, {DEFAULT_K})) AS i),
+idcg AS (
+  SELECT t.query_id, sum(1.0 / log2(p.i + 1)) AS idcg
+  FROM totrel t JOIN pos p ON p.i <= least(t.total_rel, {DEFAULT_K})
+  GROUP BY 1
+),
+qlist AS (SELECT DISTINCT query_id FROM qraw)
+SELECT ql.query_id,
+       round(CASE WHEN coalesce(r.retrieved, 0) > 0
+                  THEN CAST(coalesce(h.rel_ret, 0) AS DOUBLE) / r.retrieved ELSE 0.0 END, 6) AS precision_at_k,
+       round(CASE WHEN coalesce(t.total_rel, 0) > 0
+                  THEN CAST(coalesce(h.rel_ret, 0) AS DOUBLE) / t.total_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CASE WHEN h.frank IS NOT NULL THEN 1.0 / h.frank ELSE 0.0 END, 6) AS reciprocal_rank,
+       round(CASE WHEN h.dcg IS NOT NULL AND i.idcg IS NOT NULL
+                  THEN h.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_k
+FROM qlist ql
+LEFT JOIN ret r USING (query_id)
+LEFT JOIN totrel t USING (query_id)
+LEFT JOIN hstat h USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6244,6 +6709,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bucket_script_agg": q_bucket_script_agg,
     "q_msearch": q_msearch,
     "q_decay_function_topk": q_decay_function_topk,
+    "q_has_child_topk": q_has_child_topk,
+    "q_has_parent_topk": q_has_parent_topk,
+    "q_children_agg": q_children_agg,
+    "q_mget": q_mget,
+    "q_reindex": q_reindex,
+    "q_scroll": q_scroll,
+    "q_scripted_metric_agg": q_scripted_metric_agg,
+    "q_runtime_field_topk": q_runtime_field_topk,
+    "q_rank_eval": q_rank_eval,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -6377,4 +6851,13 @@ ORACLE_SQL: dict[str, str] = {
     "q_bucket_script_agg": SQL_BUCKET_SCRIPT_AGG,
     "q_msearch": SQL_MSEARCH,
     "q_decay_function_topk": SQL_DECAY_FUNCTION_TOPK,
+    "q_has_child_topk": SQL_HAS_CHILD_TOPK,
+    "q_has_parent_topk": SQL_HAS_PARENT_TOPK,
+    "q_children_agg": SQL_CHILDREN_AGG,
+    "q_mget": SQL_MGET,
+    "q_reindex": SQL_REINDEX,
+    "q_scroll": SQL_SCROLL,
+    "q_scripted_metric_agg": SQL_SCRIPTED_METRIC_AGG,
+    "q_runtime_field_topk": SQL_RUNTIME_FIELD_TOPK,
+    "q_rank_eval": SQL_RANK_EVAL,
 }
