@@ -6572,6 +6572,313 @@ LEFT JOIN idcg i USING (query_id)
 
 
 # ---------------------------------------------------------------------------
+# ES API parity, batch 13 (r5 close): phrase suggester, collapse
+# inner_hits, terms lookup, distance_feature
+
+#: phrase-suggester input: both words misspelled by one edit; the
+#: 31-term synthetic vocabulary gives slot 0 one candidate (key) and
+#: slot 1 two (row, slow), so the bigram LM actually has to choose.
+_SUGGEST_INPUT = ("kew", "sow")
+_SUGGEST_K = 5
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase-suggester parity: correct a whole phrase, not single
+    terms — per-slot candidates within edit distance 1 of each input
+    word (same SymSpell deletion-neighborhood EQUI-join as the fuzzy
+    query, never a nested-loop scan of the dictionary), every candidate
+    combination scored by a Laplace-smoothed bigram language model
+    built from the corpus (ES's real_word_error_likelihood /
+    smoothing.laplace mode): score = ln P(w1) + ln P(w2 | w1) with
+    add-one smoothing over V. Unigram counts fall out of the postings
+    the index already owns; the bigram table is one adjacent-pair
+    explode + partial agg (same cost family as the postings build) that
+    a deployment would persist next to the termdict. The candidate
+    cross join is broadcast-tiny (per-slot expansions, bounded like
+    max_expansions); all float ops are double ln on exact integer
+    counts, rounded 6 on both engines."""
+    from .functions.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ts = P.term_stats(posts)
+    cnt = posts.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    row = cnt.agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tok, vocab = int(row["n_tok"]), int(row["v"])
+
+    toks = docs.select(tokens_col("text").alias("tk"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk)-1, 0)),"
+                    " (x, i) -> struct(x AS w1, tk[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+
+    probes = literal_df(
+        spark, list(enumerate(_SUGGEST_INPUT)), "slot int, w string"
+    )
+    probe_vars = probes.select(
+        "slot", "w", F.explode(_deletion_variants("w")).alias("v")
+    ).distinct()
+    cand = (
+        ts.select("term", F.explode(_deletion_variants("term")).alias("v"))
+        .join(F.broadcast(probe_vars), "v")
+        .select("slot", "term")
+        .distinct()
+        .join(F.broadcast(probes), "slot")
+        .filter(F.levenshtein(F.col("term"), F.col("w")) <= 1)
+        .select("slot", "term")
+    )
+    c1 = cand.filter(F.col("slot") == 0).select(F.col("term").alias("w1"))
+    c2 = cand.filter(F.col("slot") == 1).select(F.col("term").alias("w2"))
+    pairs = F.broadcast(c1).crossJoin(F.broadcast(c2))
+    scored = (
+        pairs.join(F.broadcast(cnt.withColumnRenamed("term", "w1")), "w1")
+        .join(bigrams, ["w1", "w2"], "left")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / F.lit(float(n_tok + vocab)))
+                + F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("c") + F.lit(float(vocab)))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("suggestion"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SUGGEST_K)
+        .select("rank", "suggestion", "score")
+    )
+
+
+def _sql_phrase_suggest() -> str:
+    w1, w2 = _SUGGEST_INPUT
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM postings GROUP BY 1),
+corpus AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS v FROM cnt),
+ptoks AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+c1 AS (SELECT term AS w1 FROM cnt WHERE levenshtein(term, '{w1}') <= 1),
+c2 AS (SELECT term AS w2 FROM cnt WHERE levenshtein(term, '{w2}') <= 1),
+scored AS (
+  SELECT c1.w1 || ' ' || c2.w2 AS suggestion,
+         round(ln((u.c + 1.0) / (co.n_tok + co.v))
+             + ln((coalesce(b.c12, 0) + 1.0) / (u.c + CAST(co.v AS DOUBLE))), 6) AS score
+  FROM c1 CROSS JOIN c2
+  JOIN cnt u ON u.term = c1.w1
+  LEFT JOIN bigrams b ON b.w1 = c1.w1 AND b.w2 = c2.w2
+  CROSS JOIN corpus co
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, suggestion ASC) AS INT) AS rank,
+       suggestion, score
+FROM scored
+ORDER BY rank
+LIMIT {_SUGGEST_K}
+"""
+
+
+SQL_PHRASE_SUGGEST = _sql_phrase_suggest()
+
+
+_INNER_HITS_GROUPS = 3
+_INNER_HITS_SIZE = 2
+
+
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing with ``inner_hits`` parity: the top
+    ``_INNER_HITS_GROUPS`` source groups per query (ranked by each
+    group's best hit, exactly q_bm25_collapse_topk's contract) PLUS the
+    top ``_INNER_HITS_SIZE`` hits INSIDE each returned group — ES
+    answers inner_hits with a secondary per-group mini-search; here
+    both levels fall out of the same scored candidate set with two
+    window functions (group rank over group-best, inner rank within
+    group), so the corpus is scanned once, not once per group.
+    Quantized scores before both windows keep tie-breaks identical."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    scored = scored.join(docs.select("doc_id", "source"), "doc_id")
+    wg = Window.partitionBy("query_id", "source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    inner = scored.withColumn("inner_rank", F.row_number().over(wg).cast("int"))
+    best = inner.filter(F.col("inner_rank") == 1).select(
+        "query_id", "source", F.col("score").alias("best_score"),
+        F.col("doc_id").alias("best_doc"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("best_score"), F.asc("best_doc")
+    )
+    groups = (
+        best.withColumn("group_rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("group_rank") <= _INNER_HITS_GROUPS)
+        .select("query_id", "source", "group_rank")
+    )
+    return (
+        inner.filter(F.col("inner_rank") <= _INNER_HITS_SIZE)
+        .join(groups, ["query_id", "source"])
+        .select("query_id", "group_rank", "source", "inner_rank", "doc_id", "score")
+    )
+
+
+SQL_COLLAPSE_INNER_HITS = f"""
+{_sql_bm25_scored_cte()},
+with_src AS (
+  SELECT s.query_id, d.source, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id, d.source
+                                 ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS inner_rank
+  FROM scored s JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT query_id, source,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS INT) AS group_rank
+  FROM with_src WHERE inner_rank = 1
+)
+SELECT w.query_id, g.group_rank, w.source, w.inner_rank, w.doc_id, w.score
+FROM with_src w
+JOIN groups g ON g.query_id = w.query_id AND g.source = w.source
+WHERE g.group_rank <= {_INNER_HITS_GROUPS} AND w.inner_rank <= {_INNER_HITS_SIZE}
+"""
+
+
+_TERMS_LOOKUP_DOC = 3
+
+
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup parity (``terms: {field, index, id, path}``):
+    the term set comes from ANOTHER INDEXED DOCUMENT's field, fetched
+    like a GET (here: doc 3's distinct tokens — a pruned point read of
+    the postings, the same doc-axis lookup as _termvectors), then used
+    as a terms query. ES scores terms queries constant per match; we
+    additionally expose the per-doc matched-term count (the
+    coordination factor) and return the top-k by it — deterministic
+    and more informative than a constant column. The lookup set
+    broadcasts; the postings join stays term-pushed. The matched set
+    is corpus-sized for hot lookup terms, so the global top-k goes
+    through sort-limit (TakeOrderedAndProject: per-partition top-k
+    merged on the driver), never a single-partition window — ranks are
+    assigned after the limit, over <=k rows."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    lookup = (
+        posts.filter(F.col("doc_id") == _TERMS_LOOKUP_DOC).select("term").distinct()
+    )
+    matched = (
+        posts.join(F.broadcast(lookup), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_matched"))
+    )
+    top = matched.orderBy(F.desc("n_matched"), F.asc("doc_id")).limit(DEFAULT_K)
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "n_matched")
+    )
+
+
+SQL_TERMS_LOOKUP = f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+lookup AS (SELECT DISTINCT term FROM postings WHERE doc_id = {_TERMS_LOOKUP_DOC}),
+matched AS (
+  SELECT p.doc_id, CAST(count(DISTINCT p.term) AS BIGINT) AS n_matched
+  FROM postings p JOIN lookup l USING (term)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, n_matched,
+         CAST(row_number() OVER (ORDER BY n_matched DESC, doc_id ASC) AS INT) AS rank
+  FROM matched
+)
+SELECT rank, doc_id, n_matched FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: distance_feature on n_chars: boost * pivot / (pivot + distance)
+_DISTF_ORIGIN = 300
+_DISTF_PIVOT = 100
+_DISTF_BOOST = 2.0
+
+
+def q_distance_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``distance_feature`` query parity: BM25 relevance PLUS a
+    rational proximity boost ``boost * pivot / (pivot + |field -
+    origin|)`` on a numeric field (the recency-boost query that, unlike
+    function_score, can participate in WAND early termination because
+    its contribution is bounded by ``boost``). One JVM projection over
+    the scored candidates joined to the doc store; exact integer
+    distance, a single double division per hit, rounded 6 on both
+    engines."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    feat = docs.select(
+        "doc_id",
+        (
+            F.lit(_DISTF_BOOST)
+            * F.lit(float(_DISTF_PIVOT))
+            / (F.lit(_DISTF_PIVOT) + F.abs(F.col("n_chars") - F.lit(_DISTF_ORIGIN)))
+        ).alias("_boost"),
+    )
+    total = scored.join(feat, "doc_id").select(
+        "query_id", "doc_id", F.round(F.col("score") + F.col("_boost"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_DISTANCE_FEATURE_TOPK = f"""
+{_sql_bm25_scored_cte()},
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {_DISTF_BOOST!r} * {float(_DISTF_PIVOT)!r}
+               / ({_DISTF_PIVOT} + abs(d.n_chars - {_DISTF_ORIGIN})), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6718,6 +7025,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scripted_metric_agg": q_scripted_metric_agg,
     "q_runtime_field_topk": q_runtime_field_topk,
     "q_rank_eval": q_rank_eval,
+    "q_phrase_suggest": q_phrase_suggest,
+    "q_collapse_inner_hits": q_collapse_inner_hits,
+    "q_terms_lookup": q_terms_lookup,
+    "q_distance_feature_topk": q_distance_feature_topk,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -6860,4 +7171,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_scripted_metric_agg": SQL_SCRIPTED_METRIC_AGG,
     "q_runtime_field_topk": SQL_RUNTIME_FIELD_TOPK,
     "q_rank_eval": SQL_RANK_EVAL,
+    "q_phrase_suggest": SQL_PHRASE_SUGGEST,
+    "q_collapse_inner_hits": SQL_COLLAPSE_INNER_HITS,
+    "q_terms_lookup": SQL_TERMS_LOOKUP,
+    "q_distance_feature_topk": SQL_DISTANCE_FEATURE_TOPK,
 }
