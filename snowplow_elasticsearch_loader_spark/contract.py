@@ -6259,10 +6259,19 @@ def q_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; at corpus scale this is the doc-store point-lookup path
     (the serving coordinator's pruned range read), never a scan.
     Missing rows surface sentinel values ('' / -1) instead of NULLs to
-    keep the driver's value-hash NULL-free on both engines."""
+    keep the driver's value-hash NULL-free on both engines.
+
+    Plan shape: the id list is pushed into the scan as an IN filter
+    (parquet row-group/partition pruning at corpus scale), and the
+    left-outer join that preserves missing ids broadcasts the PRUNED
+    hit set as its build-right side — Spark cannot build the left side
+    of a left join, so broadcasting the literal directly would fall
+    back to a corpus-wide shuffle join."""
     ids = literal_df(spark, [(i,) for i in _MGET_IDS], "doc_id bigint")
-    docs = _docs(spark, sf_dir)
-    return F.broadcast(ids).join(docs, "doc_id", "left").select(
+    docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id").isin([int(i) for i in _MGET_IDS])
+    )
+    return ids.join(F.broadcast(docs), "doc_id", "left").select(
         "doc_id",
         F.when(F.col("lang").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("found"),
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),

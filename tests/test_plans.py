@@ -413,3 +413,74 @@ def test_deletion_neighborhood_is_complete_for_distance_1():
         for b in words:
             if lev(a, b) <= 1:
                 assert dn(a) & dn(b), (a, b)
+
+
+# --- batches 12-13 (r5 close): parent/child, _mget, scroll, lookup, suggest
+
+def test_mget_pushes_id_list_and_broadcasts_pruned_hits(spark, sf_tiny):
+    """_mget must be a point lookup: the id list pushed into the scan
+    as an IN filter (row-group pruning at corpus scale), and the
+    missing-id-preserving left join must broadcast the PRUNED hit set
+    (build right) — never shuffle the corpus."""
+    df = C.SPARK_QUERIES["q_mget"](spark, sf_tiny)
+    assert_in_plan(df, "In(doc_id, [", "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_terms_lookup_topk_is_sort_limit_not_global_window(spark, sf_tiny):
+    """The matched set is corpus-sized for hot lookup terms, so the
+    global top-k must plan as TakeOrderedAndProject (per-partition
+    top-k merged on the driver), not a single-partition window over
+    every matched doc."""
+    df = C.SPARK_QUERIES["q_terms_lookup"](spark, sf_tiny)
+    assert_in_plan(df, "TakeOrderedAndProject", "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_has_child_and_parent_no_cartesian(spark, sf_tiny):
+    """Join-field queries roll children up to parents with
+    partial-aggregable max/sum on the co-partitioned conv key — no
+    cartesian anywhere, hash aggregation throughout."""
+    for name in ("q_has_child_topk", "q_has_parent_topk", "q_children_agg"):
+        df = C.SPARK_QUERIES[name](spark, sf_tiny)
+        assert_in_plan(df, "HashAggregate")
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_scroll_pushes_topk_window_limit(spark, sf_tiny):
+    """Scroll is one top-(pages*size) plan: the rank window must carry
+    a group-limit pushdown (WindowGroupLimit), not rank the full hit
+    list and filter after."""
+    df = C.SPARK_QUERIES["q_scroll"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit")
+
+
+def test_reindex_pushes_query_filter_and_prunes_columns(spark, sf_tiny):
+    """_reindex's source query must reach the parquet scan (filter
+    pushdown) and read only the projected columns."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_reindex"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    assert "EqualTo(lang," in plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_phrase_suggest_candidates_use_deletion_equijoin(spark, sf_tiny):
+    """The suggester's per-slot candidate expansion must ride the same
+    deletion-neighborhood hash join as the fuzzy query; the only
+    nested-loop join allowed is the broadcast cross of the two
+    driver-tiny candidate slots (bounded like max_expansions)."""
+    df = C.SPARK_QUERIES["q_phrase_suggest"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct", "SortMergeJoin")
+
+
+def test_distance_feature_and_runtime_field_keep_bm25_plan_family(spark, sf_tiny):
+    """Both queries are one JVM projection/filter over the scored
+    candidate set joined to the doc store: broadcast joins and a
+    group-limited rank window, same family as q_bm25_topk."""
+    for name in ("q_distance_feature_topk", "q_runtime_field_topk"):
+        df = C.SPARK_QUERIES[name](spark, sf_tiny)
+        assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+        assert_not_in_plan(df, "CartesianProduct")
