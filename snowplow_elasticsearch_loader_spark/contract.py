@@ -6888,6 +6888,288 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 
 
 # ---------------------------------------------------------------------------
+# ES API parity, batch 14 (r5): match_bool_prefix, _terms_enum,
+# indices_boost, variable_width_histogram
+
+#: match_bool_prefix fixtures: (query_id, full terms, trailing prefix).
+#: mbp-0003 has no full terms — the prefix-only edge case (ES still
+#: matches, score is the constant prefix contribution alone).
+MBP_BOOL_QUERIES: list[tuple[str, list[str], str]] = [
+    ("mbp-0001", ["merge", "sort"], "win"),
+    ("mbp-0002", ["hash"], "jo"),
+    ("mbp-0003", [], "cust"),
+]
+
+
+def q_match_bool_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_bool_prefix`` parity: the analyzed query becomes a
+    bool SHOULD of term queries for every token but the last plus a
+    ``prefix`` query on the last — so unlike match_phrase_prefix the
+    tokens need not be adjacent or ordered. Scoring follows ES's
+    rewrite: full terms contribute BM25, the prefix clause is a
+    constant_score multi-term rewrite contributing 1.0 to every doc
+    containing ANY dictionary term with that prefix. Full-term scoring
+    is term-pushed (candidates only, never the corpus); the prefix
+    expansion is a pushed StartsWith FILTER on the term stats
+    (dictionary-seek analog), broadcast into the postings join; the
+    two hit sets meet in one full outer join on (query, doc)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    full_queries = [(qid, " ".join(toks)) for qid, toks, _ in MBP_BOOL_QUERIES if toks]
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, full_queries, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    exp = None
+    for qid, _, pre in MBP_BOOL_QUERIES:
+        e = ts.filter(F.col("term").startswith(pre)).select(
+            F.lit(qid).alias("query_id"), "term"
+        )
+        exp = e if exp is None else exp.union(e)
+    phits = (
+        posts.select("term", "doc_id")
+        .join(F.broadcast(exp), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("prefix_boost", F.lit(1.0))
+    )
+    combined = scored.join(phits, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("score"), F.lit(0.0))
+            + F.coalesce(F.col("prefix_boost"), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_match_bool_prefix(k: int = DEFAULT_K) -> str:
+    vals = []
+    for qid, toks, _ in MBP_BOOL_QUERIES:
+        seen: dict[str, int] = {}
+        for t in toks:
+            seen[t] = seen.get(t, 0) + 1
+        for t, n in sorted(seen.items()):
+            vals.append(f"('{qid}', '{t}', CAST({n} AS DOUBLE))")
+    qterms_cte = (
+        "qterms AS (SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(query_id, term, qtf))"
+    )
+    pfx_vals = ", ".join(f"('{qid}', '{pre}')" for qid, _, pre in MBP_BOOL_QUERIES)
+    return f"""
+{_sql_bm25_scored_cte(qterms_cte=qterms_cte)},
+pfx(query_id, prefix) AS (VALUES {pfx_vals}),
+pterms AS (
+  SELECT p.query_id, t.term
+  FROM (SELECT DISTINCT term FROM postings) t
+  JOIN pfx p ON starts_with(t.term, p.prefix)
+),
+phits AS (
+  SELECT DISTINCT q.query_id, po.doc_id FROM pterms q JOIN postings po USING (term)
+),
+combined AS (
+  SELECT coalesce(s.query_id, h.query_id) AS query_id,
+         coalesce(s.doc_id, h.doc_id) AS doc_id,
+         round(coalesce(s.score, 0.0)
+               + CASE WHEN h.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
+  FROM scored s
+  FULL OUTER JOIN phits h ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM combined
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_MATCH_BOOL_PREFIX_TOPK = _sql_match_bool_prefix()
+
+
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_terms_enum`` API parity (the index-backed autocomplete
+    endpoint): for each probe prefix, the first ``size`` dictionary
+    terms in binary order that match. Answered from the persisted term
+    dictionary alone — a pushed-down StartsWith range predicate (the
+    FST dictionary seek ES does), no postings touched, no corpus scan;
+    the per-prefix order-by runs over the matched dictionary slice
+    only (term-dictionary-sized, never doc-sized)."""
+    idx = _physical_index(spark, sf_dir)
+    td = idx.termdict
+    exp = None
+    for p in _PREFIXES:
+        e = td.filter(F.col("term").startswith(p)).select(
+            F.lit(p).alias("prefix"), "term"
+        )
+        exp = e if exp is None else exp.union(e)
+    w = Window.partitionBy("prefix").orderBy(F.asc("term"))
+    return (
+        exp.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= DEFAULT_K)
+        .select("prefix", "pos", "term")
+    )
+
+
+SQL_TERMS_ENUM = f"""
+WITH {_DUCK_TOKS},
+dterms AS (SELECT DISTINCT term FROM toks),
+pfx(prefix) AS (VALUES {", ".join(f"('{p}')" for p in _PREFIXES)}),
+ranked AS (
+  SELECT p.prefix, t.term,
+         CAST(row_number() OVER (PARTITION BY p.prefix ORDER BY t.term ASC) AS INT) AS pos
+  FROM dterms t JOIN pfx p ON starts_with(t.term, p.prefix)
+)
+SELECT prefix, pos, term FROM ranked WHERE pos <= {DEFAULT_K}
+"""
+
+
+#: indices_boost fixture: per-source (per-index in the date/source-
+#: sharded layout) multiplicative score boost as exact rationals
+#: (numerator, denominator); unlisted sources 1/1. Rationals, not
+#: floats: the boosted score is computed HALF-UP IN INTEGER
+#: MICRO-UNITS (``(si*2p + q) // 2q`` over the 1e-6-quantized score),
+#: so engine and oracle round the exact same integers — a float
+#: ``round(score * 0.6, 6)`` lands on 7th-digit-5 boundaries where
+#: Spark's and DuckDB's double rounding legitimately disagree.
+_INDICES_BOOST = [("src0", 3, 2), ("src1", 3, 5)]  # 1.5x, 0.6x
+
+
+def q_indices_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``indices_boost`` parity: when one search spans several
+    indices (here: the source-sharded layout standing in for ES's
+    per-index boost list), hits from a boosted index have their
+    relevance score multiplied by that index's factor before the
+    global top-k. The boost table is a literal CASE; scoring stays
+    term-pushed; the boost apply is one JVM projection over the
+    scored candidates joined to the doc store's shard column. See
+    _INDICES_BOOST for the exact-integer rounding contract."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    scored = bm25.bm25_topk_naive(
+        posts, ds, ts, REFERENCE_QUERIES, k=1_000_000_000, cfg=CFG
+    ).drop("rank")
+    si = F.round(F.col("score") * F.lit(1e6)).cast("long")
+    micro = F.floor((si * F.lit(2) + F.lit(1)) / F.lit(2)).cast("long")  # 1/1 default
+    for src, p, q in _INDICES_BOOST:
+        micro = (
+            F.when(
+                F.col("source") == src,
+                F.floor((si * F.lit(2 * p) + F.lit(q)) / F.lit(2 * q)).cast("long"),
+            )
+            .otherwise(micro)
+        )
+    shard = docs.select("doc_id", "source")
+    total = scored.join(shard, "doc_id").select(
+        "query_id",
+        "doc_id",
+        (micro.cast("double") / F.lit(1e6)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_INDICES_BOOST_TOPK = f"""
+{_sql_bm25_scored_cte()},
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         (CASE
+           {" ".join(f"WHEN d.source = '{src}' THEN (CAST(round(s.score * 1e6) AS BIGINT) * {2 * p} + {q}) // {2 * q}" for src, p, q in _INDICES_BOOST)}
+           ELSE (CAST(round(s.score * 1e6) AS BIGINT) * 2 + 1) // 2
+         END) / 1e6 AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+#: variable_width_histogram bucket target
+_VWH_BUCKETS = 8
+
+
+def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``variable_width_histogram`` agg parity with a DETERMINISTIC
+    bucketing contract (ES's own is a one-pass approximate clustering
+    whose buckets depend on shard traversal order — unreproducible by
+    design, so this fixes the deterministic variant a distributed
+    engine can actually guarantee): target B buckets, each distinct
+    value assigned whole to bucket ``min(B-1, floor(cum_before /
+    ceil(N/B)))`` where ``cum_before`` counts rows with smaller
+    values — equal-depth buckets that never split a value across
+    buckets (ES also keeps equal values together). Returns per bucket
+    the centroid ``key`` plus min/max/doc_count exactly as ES does.
+    Scale shape: one partial-agg shuffle compresses the corpus to the
+    DISTINCT-VALUE DOMAIN (bounded by max doc length, not corpus
+    size); the cumulative window and all bucket stats then run over
+    that domain-sized table — the single-partition window is
+    domain-bounded, never doc-bounded, at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    dom = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = dom.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = dom.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).crossJoin(F.broadcast(tot))
+    thresh = F.floor((F.col("n") + F.lit(_VWH_BUCKETS - 1)) / F.lit(_VWH_BUCKETS))
+    bucket = F.least(
+        F.lit(_VWH_BUCKETS - 1).cast("long"), F.floor(F.col("cumb") / thresh)
+    )
+    return c.select("v", "cnt", bucket.alias("bucket")).groupBy("bucket").agg(
+        F.round(F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt"), 6).alias("key"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("cnt").alias("doc_count"),
+    )
+
+
+SQL_VARIABLE_WIDTH_HISTOGRAM = f"""
+WITH dom AS (
+  SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dom),
+c AS (
+  SELECT v, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM dom
+),
+assigned AS (
+  SELECT c.v, c.cnt,
+         least({_VWH_BUCKETS - 1},
+               CAST(floor(c.cumb * 1.0 / floor((t.n + {_VWH_BUCKETS - 1}) * 1.0 / {_VWH_BUCKETS})) AS BIGINT)) AS bucket
+  FROM c CROSS JOIN tot t
+)
+SELECT bucket,
+       round(CAST(sum(v * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS key,
+       min(v) AS vmin,
+       max(v) AS vmax,
+       CAST(sum(cnt) AS BIGINT) AS doc_count
+FROM assigned GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7038,6 +7320,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_collapse_inner_hits": q_collapse_inner_hits,
     "q_terms_lookup": q_terms_lookup,
     "q_distance_feature_topk": q_distance_feature_topk,
+    # batch 14 (r5): match_bool_prefix, _terms_enum, indices_boost,
+    # variable_width_histogram
+    "q_match_bool_prefix_topk": q_match_bool_prefix_topk,
+    "q_terms_enum": q_terms_enum,
+    "q_indices_boost_topk": q_indices_boost_topk,
+    "q_variable_width_histogram": q_variable_width_histogram,
     # rows-only (non-SQL-expressible; cross-validated in tests/)
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_index_lineage": q_index_lineage,
@@ -7184,4 +7472,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_collapse_inner_hits": SQL_COLLAPSE_INNER_HITS,
     "q_terms_lookup": SQL_TERMS_LOOKUP,
     "q_distance_feature_topk": SQL_DISTANCE_FEATURE_TOPK,
+    "q_match_bool_prefix_topk": SQL_MATCH_BOOL_PREFIX_TOPK,
+    "q_terms_enum": SQL_TERMS_ENUM,
+    "q_indices_boost_topk": SQL_INDICES_BOOST_TOPK,
+    "q_variable_width_histogram": SQL_VARIABLE_WIDTH_HISTOGRAM,
 }

@@ -484,3 +484,54 @@ def test_distance_feature_and_runtime_field_keep_bm25_plan_family(spark, sf_tiny
         df = C.SPARK_QUERIES[name](spark, sf_tiny)
         assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
         assert_not_in_plan(df, "CartesianProduct")
+
+
+# --- batch 14 (r5 close): match_bool_prefix, terms_enum, indices_boost,
+#     variable_width_histogram
+
+def test_match_bool_prefix_expansion_is_pushed_startswith(spark, sf_tiny):
+    """The prefix clause must expand via a pushed StartsWith range
+    predicate on the term stats (dictionary seek), broadcast into the
+    postings join — never a non-equi join against the corpus."""
+    df = C.SPARK_QUERIES["q_match_bool_prefix_topk"](spark, sf_tiny)
+    assert_in_plan(df, "StartsWith", "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_terms_enum_touches_dictionary_only(spark, sf_tiny):
+    """_terms_enum is a dictionary seek: StartsWith pushed to the
+    termdict scan, no postings or doc-store join anywhere, and the
+    per-prefix order-by group-limited (never ranking the full
+    dictionary slice past size)."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_terms_enum"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    assert "StartsWith" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_indices_boost_keeps_bm25_plan_family(spark, sf_tiny):
+    """indices_boost is one JVM projection over the scored candidates
+    joined to the doc store's shard column: broadcast joins, group-
+    limited rank window, no cartesian."""
+    df = C.SPARK_QUERIES["q_indices_boost_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_variable_width_histogram_windows_domain_not_corpus(spark, sf_tiny):
+    """The corpus must be compressed to the distinct-value domain by a
+    partial-aggregable groupBy BEFORE the single-partition cumulative
+    window runs — the window input is domain-sized (bounded by max doc
+    length), never doc-sized. The scan must prune to the one numeric
+    column."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_variable_width_histogram"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    # partial agg (map-side combine) feeds the exchange, window after
+    assert plan.index("HashAggregate") < plan.index("Window")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n_chars" in read and "text" not in read
