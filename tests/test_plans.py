@@ -535,3 +535,39 @@ def test_variable_width_histogram_windows_domain_not_corpus(spark, sf_tiny):
     assert plan.index("HashAggregate") < plan.index("Window")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "n_chars" in read and "text" not in read
+
+
+def test_simple_query_string_broadcasts_clauses_no_cartesian(spark, sf_tiny):
+    """SQS candidates come from a term-pushed postings scan joined to a
+    broadcast clause table; the must-coverage count rides the score
+    aggregation and exclusion is an anti-join — never a cartesian."""
+    df = C.SPARK_QUERIES["q_simple_query_string_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_span_or_and_within_prune_term_buckets(spark, sf_tiny):
+    """Both new span queries read ONLY the probed terms' partitions of
+    the positional block store (term_bucket pruning like span_not) and
+    push the term list into the scan."""
+    for name in ("q_span_or_topk", "q_span_within_topk"):
+        df = C.SPARK_QUERIES[name](spark, sf_tiny)
+        assert_in_plan(df, "PartitionFilters: [term_bucket")
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_parent_id_pushes_docid_ranges(spark, sf_tiny):
+    """The conv->doc contiguity contract must surface as doc_id range
+    predicates IN THE SCAN (zone-map seeks at scale), not a post-scan
+    filter on a computed conv column."""
+    df = C.SPARK_QUERIES["q_parent_id_children"](spark, sf_tiny)
+    assert_in_plan(df, "PushedFilters: [Or(Or(And(GreaterThanOrEqual(doc_id,")
+
+
+def test_significant_text_sample_is_group_limited(spark, sf_tiny):
+    """The sampler (top-N hits per query) must run as a group-limited
+    window over broadcast-joined candidates — the foreground fan-out
+    is bounded by the sample, so no full-corpus window may appear."""
+    df = C.SPARK_QUERIES["q_significant_text_agg"](spark, sf_tiny)
+    assert_in_plan(df, "WindowGroupLimit", "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
