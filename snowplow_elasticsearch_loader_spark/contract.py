@@ -7867,6 +7867,268 @@ SQL_SEARCH_TEMPLATE = _sql_search_template()
 
 
 # ---------------------------------------------------------------------------
+# batch 16: wrapper query, span_containing, _field_caps
+
+#: wrapper-query fixture: base64-encoded match-query bodies, the ES escape
+#: hatch for embedding a raw JSON query where only a string fits
+_WRAPPER_QUERIES_B64: list[tuple[str, str]] = [
+    # base64 of {"match": {"text": "..."}} bodies, decoded at module load
+    ("wr-1", "eyJtYXRjaCI6IHsidGV4dCI6ICJtZXJnZSBzb3J0IHdpbmRvdyJ9fQ=="),
+    ("wr-2", "eyJtYXRjaCI6IHsidGV4dCI6ICJoYXNoIGpvaW4ifX0="),
+]
+
+
+def _decode_wrapper_queries() -> list[tuple[str, str]]:
+    import base64
+
+    out = []
+    for qid, b64 in _WRAPPER_QUERIES_B64:
+        body = json.loads(base64.b64decode(b64).decode("utf-8"))
+        out.append((qid, str(body["match"]["text"])))
+    return out
+
+
+_WRAPPER_QUERIES = _decode_wrapper_queries()
+
+
+def q_wrapper_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wrapper`` query parity: the query body arrives
+    base64-encoded (the escape hatch clients use to smuggle raw query
+    JSON through APIs that only accept a string), is decoded and
+    parsed ON THE DRIVER (queries are metadata), and executes as the
+    exact naive-BM25 plan — the wrapper adds zero execution cost by
+    construction. A malformed payload fails at decode time with a
+    parse error, never inside a task."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    return bm25.bm25_topk_naive(posts, ds, ts, _WRAPPER_QUERIES, k=DEFAULT_K, cfg=CFG)
+
+
+def _sql_wrapper_query() -> str:
+    qrows = []
+    for qid, text in _WRAPPER_QUERIES:
+        toks = tokenize_text(text)
+        for t in sorted(set(toks)):
+            qrows.append((qid, t, float(toks.count(t))))
+    qterms_cte = "qterms(query_id, term, qtf) AS (VALUES {})".format(
+        ", ".join(f"('{q}', '{t}', {w!r})" for q, t, w in qrows)
+    )
+    return f"""
+{_sql_bm25_scored_cte(qterms_cte=qterms_cte)},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_WRAPPER_QUERY_TOPK = _sql_wrapper_query()
+
+
+#: span_containing fixtures: (query_id, little, t1, t2, slop) — the BIG span
+#: (span_near(t1, t2, slop, in_order)) must contain an occurrence of little
+_SPAN_CONTAINING_QUERIES = [
+    ("sc-1", "key", "group", "join", 6),
+    ("sc-2", "sort", "merge", "window", 5),
+]
+
+
+def q_span_containing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_containing`` parity — the mirror of span_within: the
+    same enclosure test (p1 <= pl <= p2 within a slop-bounded in-order
+    big span), but the MATCH IS THE BIG SPAN, so the score comes from
+    the big clauses: BM25(t1) + BM25(t2) (fixed t1-then-t2 addition
+    order; exactly two terms, so IEEE commutativity needs no fold).
+    Same partition-pruned positional reads and JVM nested ``exists``
+    as span_within; the two queries share fixtures deliberately so the
+    within/containing score-source difference is directly auditable in
+    the paired results."""
+    from .operators import index_build as IB
+
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    terms = sorted({t for _, l, t1, t2, _ in _SPAN_CONTAINING_QUERIES for t in (l, t1, t2)})
+    td = {
+        r["term"]: (int(r["df"]), int(r["term_bucket"]))
+        for r in idx.termdict.filter(F.col("term").isin(terms)).collect()
+    }
+    buckets = sorted({b for _, b in td.values()})
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("term_bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        )
+    )
+    spans = literal_df(
+        spark,
+        _SPAN_CONTAINING_QUERIES,
+        "query_id string, tl string, t1 string, t2 string, slop int",
+    )
+    pl = posts.select(
+        F.col("term").alias("tl"), "doc_id", F.col("positions").alias("ppl")
+    )
+    p1 = posts.select(
+        F.col("term").alias("t1"),
+        "doc_id",
+        F.col("tf").alias("tf1"),
+        "doclen",
+        F.col("positions").alias("pp1"),
+    )
+    p2 = posts.select(
+        F.col("term").alias("t2"),
+        "doc_id",
+        F.col("tf").alias("tf2"),
+        F.col("positions").alias("pp2"),
+    )
+    cand = (
+        F.broadcast(spans)
+        .join(p1, "t1")
+        .join(p2, ["t2", "doc_id"])
+        .join(pl, ["tl", "doc_id"])
+    )
+    slop = F.col("slop").cast("long")
+    contains = F.exists(
+        "ppl",
+        lambda pl_: F.exists(
+            "pp1",
+            lambda a: (a <= pl_)
+            & F.exists(
+                "pp2",
+                lambda q: (q >= pl_) & (q > a) & ((q - a - F.lit(1)) <= slop),
+            ),
+        ),
+    )
+    matched = cand.filter(contains)
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    idfm = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(bm25.idf(n_docs, td.get(t, (0, -1))[0])))]
+    )
+
+    def _contrib(tf_col: str, w: Column) -> Column:
+        return (
+            w
+            * (F.col(tf_col).cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+            )
+        )
+
+    score = _contrib("tf1", idfm[F.col("t1")]) + _contrib("tf2", idfm[F.col("t2")])
+    scored = matched.select("query_id", "doc_id", F.round(score, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_span_containing() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(
+        f"('{q}', '{l}', '{t1}', '{t2}', {s})"
+        for q, l, t1, t2, s in _SPAN_CONTAINING_QUERIES
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+spans(query_id, tl, t1, t2, slop) AS (VALUES {rows}),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+m AS (
+  SELECT DISTINCT s.query_id, l.doc_id
+  FROM spans s
+  JOIN posns l ON l.term = s.tl
+  JOIN posns a ON a.doc_id = l.doc_id AND a.term = s.t1 AND a.pos <= l.pos
+  JOIN posns b2 ON b2.doc_id = l.doc_id AND b2.term = s.t2
+   AND b2.pos >= l.pos AND b2.pos > a.pos AND b2.pos - a.pos - 1 <= s.slop
+),
+tcontrib AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (co.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/co.avgdl)) AS contrib
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus co
+),
+scored AS (
+  SELECT m.query_id, m.doc_id, round(c1.contrib + c2.contrib, 6) AS score
+  FROM m
+  JOIN spans s USING (query_id)
+  JOIN tcontrib c1 ON c1.doc_id = m.doc_id AND c1.term = s.t1
+  JOIN tcontrib c2 ON c2.doc_id = m.doc_id AND c2.term = s.t2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPAN_CONTAINING_TOPK = _sql_span_containing()
+
+
+#: Spark-type -> ES-field-caps-type mapping; the analyzed column is `text`
+#: (the engine's mapping contract: one analyzed field, everything else exact)
+_FIELD_CAPS_ANALYZED = "text"
+
+
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_field_caps`` API parity over the documents table: per
+    field its ES type, searchable and aggregatable flags, DERIVED FROM
+    THE LIVE TABLE SCHEMA (a new column shows up here without a code
+    change, exactly like ES's mapping introspection). The engine's
+    mapping contract: the analyzed field is ``text`` (type text,
+    aggregatable false — no doc_values on analyzed fields); other
+    strings are keyword; bigint -> long, double -> double,
+    timestamp -> date. Pure driver metadata: one schema read, a
+    literal plan, no scan at all."""
+    schema = _docs(spark, sf_dir).schema
+    mapping = {"bigint": "long", "double": "double", "timestamp": "date"}
+    rows = []
+    for f in schema.fields:
+        st = f.dataType.simpleString()
+        if st == "string":
+            es = "text" if f.name == _FIELD_CAPS_ANALYZED else "keyword"
+        else:
+            es = mapping.get(st, st)
+        rows.append((f.name, es, True, es != "text"))
+    return literal_df(
+        spark,
+        sorted(rows),
+        "field string, es_type string, searchable boolean, aggregatable boolean",
+    )
+
+
+SQL_FIELD_CAPS = f"""
+SELECT column_name AS field,
+       CASE WHEN column_name = '{_FIELD_CAPS_ANALYZED}' THEN 'text'
+            WHEN column_type = 'VARCHAR' THEN 'keyword'
+            WHEN column_type = 'BIGINT' THEN 'long'
+            WHEN column_type = 'DOUBLE' THEN 'double'
+            WHEN column_type LIKE 'TIMESTAMP%' THEN 'date'
+            ELSE lower(column_type) END AS es_type,
+       TRUE AS searchable,
+       (column_name <> '{_FIELD_CAPS_ANALYZED}') AS aggregatable
+FROM (DESCRIBE SELECT * FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8034,6 +8296,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_significant_text_agg": q_significant_text_agg,
     "q_parent_id_children": q_parent_id_children,
     "q_search_template": q_search_template,
+    "q_wrapper_query_topk": q_wrapper_query_topk,
+    "q_span_containing_topk": q_span_containing_topk,
+    "q_field_caps": q_field_caps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8187,4 +8452,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_significant_text_agg": SQL_SIGNIFICANT_TEXT_AGG,
     "q_parent_id_children": SQL_PARENT_ID_CHILDREN,
     "q_search_template": SQL_SEARCH_TEMPLATE,
+    "q_wrapper_query_topk": SQL_WRAPPER_QUERY_TOPK,
+    "q_span_containing_topk": SQL_SPAN_CONTAINING_TOPK,
+    "q_field_caps": SQL_FIELD_CAPS,
 }

@@ -571,3 +571,30 @@ def test_significant_text_sample_is_group_limited(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_significant_text_agg"](spark, sf_tiny)
     assert_in_plan(df, "WindowGroupLimit", "BroadcastHashJoin")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_wrapper_query_keeps_bm25_plan_family(spark, sf_tiny):
+    """The wrapper decodes on the driver; the executed plan must be
+    indistinguishable from the plain match query's."""
+    df = C.SPARK_QUERIES["q_wrapper_query_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_span_containing_prunes_term_buckets(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_span_containing_topk"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [term_bucket")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_field_caps_is_metadata_only(spark, sf_tiny):
+    """_field_caps reads the SCHEMA, never the data: the returned plan
+    must be a literal local relation with no file scan at all."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_field_caps"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    # literal plan (Range+Generate or LocalTableScan) — no file scan
+    assert ("LocalTableScan" in plan) or ("Range (" in plan), plan[:1500]
+    assert "ReadSchema" not in plan, plan[:1500]
+    assert "Scan parquet" not in plan, plan[:1500]
