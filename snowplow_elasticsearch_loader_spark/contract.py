@@ -8129,6 +8129,371 @@ FROM (DESCRIBE SELECT * FROM documents)
 
 
 # ---------------------------------------------------------------------------
+# batch 17: nested query / reverse_nested, span_multi, rank_feature log
+
+#: nested-query fixture: SAME-turn conjunction — the defining nested
+#: semantic (an object mapping would wrongly match conversations where one
+#: turn has the term and a DIFFERENT turn has the lang)
+_NESTED_TERM = "merge"
+_NESTED_LANG = "en"
+
+
+def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query parity (score_mode: max) over the
+    conversation/turn model: match conversations where SOME SINGLE
+    turn satisfies BOTH conditions (contains the term AND has the
+    lang) — the per-object conjunction that distinguishes ``nested``
+    from a flattened object mapping, where turn A's term and turn B's
+    lang would wrongly combine. Turn-level BM25 is the engine's
+    standard single-term contribution; the parent takes the MAX over
+    its matching turns (one partial-aggregable max on the
+    co-partitioned conv key, same layout as has_child). Unlike
+    has_child (q_has_child_topk: term-only child match), the turn
+    filter here is a conjunction evaluated per turn BEFORE the
+    rollup."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    dfv = {r["term"]: int(r["df"]) for r in ts.filter(F.col("term") == _NESTED_TERM).collect()}
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    contrib = (
+        F.lit(bm25.idf(n_docs, dfv.get(_NESTED_TERM, 0)))
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    hits = (
+        posts.filter(F.col("term") == _NESTED_TERM)
+        .join(ds, "doc_id")
+        .select("doc_id", F.round(contrib, 6).alias("score"))
+    )
+    matched = hits.join(docs.select("doc_id", "lang"), "doc_id").filter(
+        F.col("lang") == _NESTED_LANG
+    )
+    conv = matched.select(_conv_col(), "score").groupBy("conv_id").agg(
+        F.max("score").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("conv_id"))
+    return (
+        conv.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("rank", "conv_id", "score")
+    )
+
+
+def _sql_nested_query() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+hits AS (
+  SELECT p.doc_id,
+         round(ln(1 + (co.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/co.avgdl)), 6) AS score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus co
+  WHERE p.term = '{_NESTED_TERM}'
+),
+m AS (
+  SELECT h.doc_id, h.score
+  FROM hits h JOIN documents x ON x.doc_id = h.doc_id AND x.lang = '{_NESTED_LANG}'
+),
+conv AS (
+  SELECT CAST(doc_id // {_PC_CONV} AS BIGINT) AS conv_id, max(score) AS score
+  FROM m GROUP BY 1
+),
+ranked AS (
+  SELECT conv_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, conv_id ASC) AS INT) AS rank
+  FROM conv
+)
+SELECT rank, conv_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_NESTED_QUERY = _sql_nested_query()
+
+
+def q_reverse_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` agg + ``reverse_nested`` parity: bucket by a
+    TURN-level field (lang), count turns per bucket (the nested doc
+    count), then step back to the ROOT level and count the distinct
+    parent conversations owning those turns — the reverse_nested doc
+    count ES reports alongside. One partial agg over the co-partitioned
+    family layout; the distinct-conv count is the one term that grows
+    a second exchange, and at 100 TB it swaps to
+    approx_count_distinct exactly like q_date_histogram's
+    unique_users (same bound asserted in tests)."""
+    docs = _docs(spark, sf_dir).withColumn("conv_id", _conv_col())
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+SQL_REVERSE_NESTED_AGG = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT doc_id // {_PC_CONV}) AS BIGINT) AS n_convs
+FROM documents GROUP BY 1
+"""
+
+
+#: span_multi fixtures: (query_id, prefix, literal_term, slop) —
+#: span_near([span_multi(prefix(pfx)), literal], slop, in_order=true)
+_SPAN_MULTI_QUERIES = [
+    ("sm-1", "s", "merge", 3),
+    ("sm-2", "w", "join", 4),
+]
+
+
+def q_span_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_multi`` parity: a multi-term query (here ``prefix``)
+    wrapped as a span clause inside ``span_near(in_order=true)`` with
+    a literal second term. The expansion is DYNAMIC — derived from the
+    term dictionary at query time (pushed StringStartsWith seek, like
+    q_prefix_topk), never a hard-coded list; matched dictionary rows
+    are driver-collected (expansion-sized metadata, the same contract
+    as every probed-term collect) so the block scan partition-prunes
+    to the expansion's buckets. Scoring contract: BM25(literal) plus
+    the BM25 of every expansion term PARTICIPATING in >=1 matching
+    span, accumulated in term-sorted fold order (Lucene's blended
+    rewrite differs; documented deviation — we keep the engine's exact
+    per-term statistics instead of blending)."""
+    from .operators import index_build as IB
+
+    idx = _physical_index(spark, sf_dir)
+    n_docs, avgdl = idx.corpus()
+    lits = sorted({t for _, _, t, _ in _SPAN_MULTI_QUERIES})
+    pfx_rows = idx.termdict
+    cond = F.col("term").isin(lits)
+    for _, p, _, _ in _SPAN_MULTI_QUERIES:
+        cond = cond | F.col("term").startswith(p)
+    dict_rows = pfx_rows.filter(cond).select("term", "df", "term_bucket").collect()
+    td = {r["term"]: (int(r["df"]), int(r["term_bucket"])) for r in dict_rows}
+    # expansion tagging: longest matching prefix wins (fixtures are
+    # non-overlapping single-char prefixes, so this is unambiguous)
+    exp_rows = []
+    for qid, p, tlit, slop in _SPAN_MULTI_QUERIES:
+        for t in td:
+            if t.startswith(p):
+                exp_rows.append((qid, t))
+    exp = literal_df(spark, sorted(exp_rows), "query_id string, eterm string")
+    buckets = sorted({b for _, b in td.values()})
+    terms = sorted(td)
+    posts = IB.decode_blocks(
+        idx.blocks.filter(F.col("term_bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        )
+    )
+    spans = literal_df(
+        spark, _SPAN_MULTI_QUERIES, "query_id string, pfx string, tlit string, slop int"
+    )
+    pe = posts.select(
+        F.col("term").alias("eterm"),
+        "doc_id",
+        F.col("tf").alias("tfe"),
+        F.col("positions").alias("pe"),
+    )
+    pl = posts.select(
+        F.col("term").alias("tlit"),
+        "doc_id",
+        F.col("tf").alias("tfl"),
+        "doclen",
+        F.col("positions").alias("plit"),
+    )
+    cand = (
+        F.broadcast(exp.join(spans, "query_id"))
+        .join(pe, "eterm")
+        .join(pl, ["tlit", "doc_id"])
+    )
+    slop = F.col("slop").cast("long")
+    spanned = cand.filter(
+        F.exists(
+            "pe",
+            lambda a: F.exists("plit", lambda q: (q > a) & ((q - a - F.lit(1)) <= slop)),
+        )
+    )
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    idfm = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(bm25.idf(n_docs, td.get(t, (0, -1))[0])))]
+    )
+
+    def _contrib(tf_col: str, w: Column) -> Column:
+        return (
+            w
+            * (F.col(tf_col).cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+            )
+        )
+
+    per_term = spanned.select(
+        "query_id",
+        "doc_id",
+        F.col("eterm").alias("term"),
+        _contrib("tfe", idfm[F.col("eterm")]).alias("econtrib"),
+        _contrib("tfl", idfm[F.col("tlit")]).alias("lcontrib"),
+    )
+    scored = (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "econtrib"))).alias("cs"),
+            F.first("lcontrib").alias("lcontrib"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("lcontrib")
+                + F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["econtrib"]),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_span_multi() -> str:
+    k1, b = CFG.bm25.k1, CFG.bm25.b
+    rows = ", ".join(
+        f"('{q}', '{p}', '{t}', {s})" for q, p, t, s in _SPAN_MULTI_QUERIES
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS}, {_DUCK_DSTATS},
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM dstats
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+spans(query_id, pfx, tlit, slop) AS (VALUES {rows}),
+exp AS (
+  SELECT s.query_id, v.term AS eterm
+  FROM spans s JOIN (SELECT DISTINCT term FROM postings) v
+    ON v.term LIKE s.pfx || '%'
+),
+posns AS (
+  SELECT doc_id, unnest({duckdb_tokens_expr('text')}) AS term,
+         generate_subscripts({duckdb_tokens_expr('text')}, 1) AS pos
+  FROM documents
+),
+em AS (
+  SELECT DISTINCT s.query_id, a.doc_id, a.term
+  FROM spans s
+  JOIN exp e USING (query_id)
+  JOIN posns a ON a.term = e.eterm
+  JOIN posns c ON c.doc_id = a.doc_id AND c.term = s.tlit
+   AND c.pos > a.pos AND c.pos - a.pos - 1 <= s.slop
+),
+tcontrib AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (co.n_docs - t.df + 0.5)/(t.df + 0.5))
+           * (p.tf * {k1 + 1.0!r}) / (p.tf + {k1!r}*({1.0 - b!r} + {b!r}*d.doclen/co.avgdl)) AS contrib
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN dstats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus co
+),
+scored AS (
+  SELECT m.query_id, m.doc_id, round(lc.contrib + sum(tc.contrib), 6) AS score
+  FROM em m
+  JOIN spans s USING (query_id)
+  JOIN tcontrib lc ON lc.doc_id = m.doc_id AND lc.term = s.tlit
+  JOIN tcontrib tc ON tc.doc_id = m.doc_id AND tc.term = m.term
+  GROUP BY m.query_id, m.doc_id, lc.contrib
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPAN_MULTI_TOPK = _sql_span_multi()
+
+
+#: rank_feature log-function constants (ES: score = boost * ln(scaling + f))
+_RANK_FEATURE_LOG_SCALING = 1.0
+_RANK_FEATURE_LOG_BOOST = 0.5
+
+
+def q_rank_feature_log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` with the ``log`` function (the variant for
+    unbounded features): blended score = BM25 + boost *
+    ln(scaling_factor + f), f = n_chars. Same plan as the saturation
+    variant (q_rank_feature_topk) — the function swap is one JVM
+    projection; candidates, statistics, and the feature join are
+    identical, which is exactly ES's contract (the function only
+    reshapes the feature's contribution)."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    ds = P.doc_stats(docs)
+    ts = P.term_stats(posts)
+    row = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["s"]) / float(row["n"])
+    tdf = bm25.collect_query_term_stats(ts, REFERENCE_QUERIES)
+    qterms = bm25.query_term_weights(spark, REFERENCE_QUERIES, tdf, n_docs)
+    qterm_list = sorted({t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)})
+    scored = bm25.score_candidates(
+        posts.filter(F.col("term").isin(qterm_list)), ds, qterms, avgdl, CFG
+    )
+    feat = docs.select(
+        "doc_id",
+        (
+            F.lit(_RANK_FEATURE_LOG_BOOST)
+            * F.log(F.lit(_RANK_FEATURE_LOG_SCALING) + F.col("n_chars"))
+        ).alias("_logf"),
+    )
+    total = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.round(F.col("score"), 6) + F.col("_logf"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+SQL_RANK_FEATURE_LOG_TOPK = f"""
+{_sql_bm25_scored_cte()},
+with_feat AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {_RANK_FEATURE_LOG_BOOST!r}
+               * ln({_RANK_FEATURE_LOG_SCALING!r} + d.n_chars), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM with_feat
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8299,6 +8664,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_wrapper_query_topk": q_wrapper_query_topk,
     "q_span_containing_topk": q_span_containing_topk,
     "q_field_caps": q_field_caps,
+    "q_nested_query": q_nested_query,
+    "q_reverse_nested_agg": q_reverse_nested_agg,
+    "q_span_multi_topk": q_span_multi_topk,
+    "q_rank_feature_log_topk": q_rank_feature_log_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8455,4 +8824,8 @@ ORACLE_SQL: dict[str, str] = {
     "q_wrapper_query_topk": SQL_WRAPPER_QUERY_TOPK,
     "q_span_containing_topk": SQL_SPAN_CONTAINING_TOPK,
     "q_field_caps": SQL_FIELD_CAPS,
+    "q_nested_query": SQL_NESTED_QUERY,
+    "q_reverse_nested_agg": SQL_REVERSE_NESTED_AGG,
+    "q_span_multi_topk": SQL_SPAN_MULTI_TOPK,
+    "q_rank_feature_log_topk": SQL_RANK_FEATURE_LOG_TOPK,
 }

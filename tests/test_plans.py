@@ -598,3 +598,26 @@ def test_field_caps_is_metadata_only(spark, sf_tiny):
     assert ("LocalTableScan" in plan) or ("Range (" in plan), plan[:1500]
     assert "ReadSchema" not in plan, plan[:1500]
     assert "Scan parquet" not in plan, plan[:1500]
+
+
+def test_nested_query_rolls_up_without_cartesian(spark, sf_tiny):
+    """The per-turn conjunction must evaluate before the parent max
+    rollup — broadcast/equi joins only, partial-aggregable max."""
+    df = C.SPARK_QUERIES["q_nested_query"](spark, sf_tiny)
+    assert_in_plan(df, "HashAggregate")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_span_multi_prunes_buckets_and_broadcasts_expansion(spark, sf_tiny):
+    """The dynamic prefix expansion is broadcast; the positional block
+    scan partition-prunes to the expansion's buckets."""
+    df = C.SPARK_QUERIES["q_span_multi_topk"](spark, sf_tiny)
+    assert_in_plan(df, "PartitionFilters: [term_bucket", "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_rank_feature_log_keeps_bm25_plan_family(spark, sf_tiny):
+    df = C.SPARK_QUERIES["q_rank_feature_log_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
