@@ -8494,6 +8494,239 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
 
 
 # ---------------------------------------------------------------------------
+# batch 18: sparse_vector (learned-sparse retrieval), bucket_correlation,
+# _validate_query
+
+#: sparse_vector fixture: per-query token->weight maps, the shape a learned
+#: sparse encoder (ELSER-style text_expansion / weighted_tokens) emits
+_SPARSE_QUERIES: list[tuple[str, tuple[tuple[str, float], ...]]] = [
+    ("sv-1", (("merge", 1.8), ("sort", 1.2), ("window", 0.4))),
+    ("sv-2", (("vector", 2.0), ("stream", 0.7))),
+]
+
+
+def q_sparse_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sparse_vector`` / ``weighted_tokens`` query parity (the
+    text_expansion execution shape): the query arrives as a
+    token->weight map from a learned sparse encoder and scores
+    dot-product style — sum over query tokens present in the doc of
+    query_weight * doc_token_weight. The engine's doc-side token
+    weight contract is tf (the stored impact in our index; a learned
+    doc-side encoder would persist its weights in the same postings
+    column). The plan IS the BM25 plan with the weight join swapped
+    in: term-pushed postings scan, broadcast token-weight literal,
+    one aggregation; the whole learned-sparse serving path reuses the
+    inverted index unchanged — the point of the sparse-retrieval
+    family. Accumulation uses the engine's term-sorted fold."""
+    docs = _docs(spark, sf_dir)
+    posts = P.build_postings(docs)
+    wrows = [(qid, t, w) for qid, toks in _SPARSE_QUERIES for t, w in toks]
+    qw = literal_df(spark, wrows, "query_id string, term string, qw double")
+    terms = sorted({t for _, t, _ in wrows})
+    per = (
+        posts.filter(F.col("term").isin(terms))
+        .join(F.broadcast(qw), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            (F.col("qw") * F.col("tf").cast("double")).alias("contrib"),
+        )
+    )
+    scored = (
+        per.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DEFAULT_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_sparse_vector() -> str:
+    rows = ", ".join(
+        f"('{q}', '{t}', {w!r})" for q, toks in _SPARSE_QUERIES for t, w in toks
+    )
+    return f"""
+WITH {_DUCK_TOKS}, {_DUCK_POSTINGS},
+qw(query_id, term, qw) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.doc_id, round(sum(q.qw * p.tf), 6) AS score
+  FROM qw q JOIN postings p USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DEFAULT_K}
+"""
+
+
+SQL_SPARSE_VECTOR_TOPK = _sql_sparse_vector()
+
+
+def q_bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg parity: per event_type,
+    the Pearson correlation between two sibling metric series over the
+    daily buckets (bucket doc_count vs bucket sum_value). Correlation
+    is computed by the CLOSED FORM over integer-exact moments — the
+    day-level sum_value is quantized to 3-decimal milli-units and both
+    series are centered on their per-group integer minimum (Pearson is
+    translation-invariant), so n, Sx, Sy, Sxy, Sxx, Syy are all small
+    exact int64 and both engines reach bit-identical doubles in the
+    final division (the same exactness trick as the indices_boost
+    rounding contract; engines' own corr() implementations differ in
+    accumulation and would hash-diverge, and uncentred micro-unit
+    squares overflow int64). Scale: the moments are one
+    partial-aggregable pass over day buckets — O(#days) rows per
+    group; a 100 TB deployment promotes the moments to double and
+    accepts last-ulp noise."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x0"),
+        F.round(F.round(F.sum("value"), 3) * F.lit(1000.0), 0)
+        .cast("long")
+        .alias("y0"),
+    )
+    # Pearson is translation-invariant: center both series on the
+    # per-group integer minimum so the int64 moments stay small and
+    # exact (uncentred micro-unit squares overflow int64 by sf0.001)
+    mins = day.groupBy("event_type").agg(
+        F.min("x0").alias("mx"), F.min("y0").alias("my")
+    )
+    day = day.join(mins, "event_type").select(
+        "event_type",
+        (F.col("x0") - F.col("mx")).alias("x"),
+        (F.col("y0") - F.col("my")).alias("y"),
+    )
+    m = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_buckets"),
+        F.round(num / (denx * deny), 6).alias("correlation"),
+    )
+
+
+SQL_BUCKET_CORRELATION_AGG = """
+WITH day0 AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x0,
+         CAST(round(round(sum(value), 3) * 1000.0, 0) AS BIGINT) AS y0
+  FROM events GROUP BY 1, 2
+),
+mins AS (
+  SELECT event_type, min(x0) AS mx, min(y0) AS my FROM day0 GROUP BY 1
+),
+day AS (
+  SELECT d.event_type, d.x0 - m.mx AS x, d.y0 - m.my AS y
+  FROM day0 d JOIN mins m USING (event_type)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM day GROUP BY 1
+)
+SELECT event_type, n AS n_buckets,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS correlation
+FROM m
+"""
+
+
+#: _validate_query fixture: exercises every clause kind plus the lenient
+#: degenerate cases (analyzer-empty phrase, negative-only query)
+_VALIDATE_QUERIES = [
+    ("vq-1", '+merge "hash join" -slow window'),
+    ("vq-2", '""'),
+    ("vq-3", "-only -negatives"),
+]
+
+
+def q_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_validate_query`` API parity over the engine's
+    simple_query_string grammar (operators/querystring.py): per query,
+    whether it parses (always true — the simple variant's lenient
+    grammar never errors, which IS the behavior under test) and the
+    parsed clause census (should/must/must_not/phrase counts) plus
+    ``matchable`` — whether candidate generation would find >=1
+    positive clause. Deviation from ES documented: a pure must_not
+    bool query is matchable in ES (matches everything except);
+    this engine's candidate generation is postings-driven, so it
+    reports matchable=false for vq-3. Twin strategy (like the Damerau
+    oracle): the DuckDB twin is a GOLDEN expectation table, not an
+    independent parser — the parser itself is unit-tested in
+    tests/test_querystring.py."""
+    from .operators.querystring import parse_query_string
+
+    rows = []
+    for qid, qtext in _VALIDATE_QUERIES:
+        p = parse_query_string(qtext)
+        rows.append(
+            (
+                qid,
+                True,
+                bool(p.should or p.must or p.phrases),
+                len(p.should),
+                len(p.must),
+                len(p.must_not),
+                len(p.phrases),
+            )
+        )
+    return literal_df(
+        spark,
+        rows,
+        "query_id string, valid boolean, matchable boolean, "
+        "n_should int, n_must int, n_must_not int, n_phrases int",
+    )
+
+
+#: HAND-DERIVED golden expectations — independent of the parser under
+#: test (deriving them by calling the parser would make the twin a
+#: tautology). vq-1: one must (merge), one 2-token phrase (hash join),
+#: one must_not (slow), one should (window). vq-2: the empty phrase is
+#: analyzer-dropped -> zero clauses, unmatchable. vq-3: two must_not
+#: clauses only -> unmatchable under postings-driven candidates.
+SQL_VALIDATE_QUERY = (
+    "SELECT query_id, valid, matchable, CAST(n_should AS INT) AS n_should, "
+    "CAST(n_must AS INT) AS n_must, CAST(n_must_not AS INT) AS n_must_not, "
+    "CAST(n_phrases AS INT) AS n_phrases FROM (VALUES "
+    "('vq-1', TRUE, TRUE, 1, 1, 1, 1), "
+    "('vq-2', TRUE, FALSE, 0, 0, 0, 0), "
+    "('vq-3', TRUE, FALSE, 0, 0, 2, 0)"
+    ") AS v(query_id, valid, matchable, n_should, n_must, n_must_not, n_phrases)"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8668,6 +8901,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_reverse_nested_agg": q_reverse_nested_agg,
     "q_span_multi_topk": q_span_multi_topk,
     "q_rank_feature_log_topk": q_rank_feature_log_topk,
+    "q_sparse_vector_topk": q_sparse_vector_topk,
+    "q_bucket_correlation_agg": q_bucket_correlation_agg,
+    "q_validate_query": q_validate_query,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8828,4 +9064,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_reverse_nested_agg": SQL_REVERSE_NESTED_AGG,
     "q_span_multi_topk": SQL_SPAN_MULTI_TOPK,
     "q_rank_feature_log_topk": SQL_RANK_FEATURE_LOG_TOPK,
+    "q_sparse_vector_topk": SQL_SPARSE_VECTOR_TOPK,
+    "q_bucket_correlation_agg": SQL_BUCKET_CORRELATION_AGG,
+    "q_validate_query": SQL_VALIDATE_QUERY,
 }

@@ -621,3 +621,20 @@ def test_rank_feature_log_keeps_bm25_plan_family(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_rank_feature_log_topk"](spark, sf_tiny)
     assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_sparse_vector_broadcasts_weights_no_cartesian(spark, sf_tiny):
+    """The learned-sparse dot product must run as a term-pushed
+    postings scan joined to the broadcast token-weight literal."""
+    df = C.SPARK_QUERIES["q_sparse_vector_topk"](spark, sf_tiny)
+    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_bucket_correlation_moments_are_partial_aggregable(spark, sf_tiny):
+    """Both passes (day buckets, then centered integer moments) must be
+    hash aggregations with map-side combine; the min-centering join is
+    a broadcast over group-cardinality rows."""
+    df = C.SPARK_QUERIES["q_bucket_correlation_agg"](spark, sf_tiny)
+    assert_in_plan(df, "HashAggregate")
+    assert_not_in_plan(df, "CartesianProduct")
