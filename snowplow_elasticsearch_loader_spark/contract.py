@@ -8727,6 +8727,130 @@ SQL_VALIDATE_QUERY = (
 
 
 # ---------------------------------------------------------------------------
+# batch 19: percentiles_bucket, bucket_count_ks_test
+
+#: percentiles_bucket points (same points as q_percentiles_agg's fixture)
+_PCTB_POINTS = [0.25, 0.5, 0.75]
+
+
+def q_percentiles_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg parity: exact
+    linear-interpolation percentiles OVER THE BUCKET SERIES (daily
+    sum(value)), completing the sibling family
+    (q_sibling_pipeline_aggs: avg/min/max/sum_bucket). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (the parity
+    q_percentiles_agg already fixes); bucket sums are quantized to 6
+    places before the sibling pass. The pipeline input is O(#days)
+    rows — a driver-trivial series at any corpus size, like every
+    parent/sibling pipeline in this registry."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("bsum"))
+    return daily.agg(
+        *[
+            F.round(F.percentile("bsum", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in _PCTB_POINTS
+        ]
+    )
+
+
+SQL_PERCENTILES_BUCKET_AGG = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS bsum
+  FROM events GROUP BY 1
+)
+SELECT {} FROM daily
+""".format(
+    ", ".join(
+        f"round(quantile_cont(bsum, {p!r}), 6) AS p{int(p * 100)}"
+        for p in _PCTB_POINTS
+    )
+)
+
+
+def q_bucket_ks_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline agg parity (the ML module's
+    drift detector): per event_type, the two-sample Kolmogorov-Smirnov
+    statistic D between the type's daily doc-count distribution and
+    the all-types daily distribution — D = max over days of
+    |ECDF_type - ECDF_all| with the day axis shared (types absent on a
+    day contribute an explicit zero bucket, so the ECDFs step
+    together). All counts are exact integers; each ECDF value is one
+    int/int double division, so both engines produce bit-identical
+    doubles before the max. The (type x day) domain is the product of
+    two aggregation cardinalities — metadata-sized at any corpus
+    scale (the variable_width_histogram domain argument), so the
+    window over it is driver-trivial."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = daily.groupBy("day").agg(F.sum("c").cast("long").alias("a"))
+    types = daily.groupBy("event_type").agg(F.sum("c").cast("long").alias("te"))
+    total = int(days.agg(F.sum("a")).collect()[0][0])
+    # explicit zero buckets: the (type x day) domain — two aggregated,
+    # metadata-sized sides; the cross is bucket-cardinality, not corpus
+    dom = types.select("event_type", "te").crossJoin(days.select("day", "a"))
+    grid = dom.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "te",
+        "a",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    wday = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = grid.select(
+        "event_type",
+        (F.sum("c").over(wday).cast("double") / F.col("te").cast("double")).alias("fe"),
+        (F.sum("a").over(wday).cast("double") / F.lit(float(total))).alias("fa"),
+    )
+    return (
+        ecdf.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max(F.abs(F.col("fe") - F.col("fa"))), 6).alias("ks_d"),
+        )
+    )
+
+
+SQL_BUCKET_KS_TEST_AGG = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT day, CAST(sum(c) AS BIGINT) AS a FROM daily GROUP BY 1),
+types AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS te FROM daily GROUP BY 1),
+total AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM days),
+grid AS (
+  SELECT ty.event_type, d.day, ty.te, d.a, coalesce(x.c, 0) AS c
+  FROM types ty CROSS JOIN days d
+  LEFT JOIN daily x ON x.event_type = ty.event_type AND x.day = d.day
+),
+ecdf AS (
+  SELECT g.event_type,
+         CAST(sum(g.c) OVER (PARTITION BY g.event_type ORDER BY g.day) AS DOUBLE)
+           / CAST(g.te AS DOUBLE) AS fe,
+         CAST(sum(g.a) OVER (PARTITION BY g.event_type ORDER BY g.day) AS DOUBLE)
+           / CAST(t.t AS DOUBLE) AS fa
+  FROM grid g CROSS JOIN total t
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       round(max(abs(fe - fa)), 6) AS ks_d
+FROM ecdf GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8904,6 +9028,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sparse_vector_topk": q_sparse_vector_topk,
     "q_bucket_correlation_agg": q_bucket_correlation_agg,
     "q_validate_query": q_validate_query,
+    "q_percentiles_bucket_agg": q_percentiles_bucket_agg,
+    "q_bucket_ks_test_agg": q_bucket_ks_test_agg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9067,4 +9193,6 @@ ORACLE_SQL: dict[str, str] = {
     "q_sparse_vector_topk": SQL_SPARSE_VECTOR_TOPK,
     "q_bucket_correlation_agg": SQL_BUCKET_CORRELATION_AGG,
     "q_validate_query": SQL_VALIDATE_QUERY,
+    "q_percentiles_bucket_agg": SQL_PERCENTILES_BUCKET_AGG,
+    "q_bucket_ks_test_agg": SQL_BUCKET_KS_TEST_AGG,
 }

@@ -638,3 +638,14 @@ def test_bucket_correlation_moments_are_partial_aggregable(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_bucket_correlation_agg"](spark, sf_tiny)
     assert_in_plan(df, "HashAggregate")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_bucket_ks_windows_domain_not_corpus(spark, sf_tiny):
+    """The ECDF window must run over the aggregated (type x day)
+    domain — the corpus is compressed by partial hash aggs BEFORE any
+    window; the domain cross sits above aggregated inputs only."""
+    from snowplow_elasticsearch_loader_spark.plans import formatted_plan
+
+    df = C.SPARK_QUERIES["q_bucket_ks_test_agg"](spark, sf_tiny)
+    plan = formatted_plan(df)
+    assert plan.index("HashAggregate") < plan.index("Window")
