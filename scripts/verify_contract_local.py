@@ -42,6 +42,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 spark = get_spark("local[32]", app_name="verify-window")
 con = duck_con(SF)
 names = list(SPARK_QUERIES)[START:START + N]
+if os.environ.get("VW_NAMES"):
+    names = [n for n in os.environ["VW_NAMES"].split(",") if n in SPARK_QUERIES]
 results = {}
 for name in names:
     t0 = time.time()

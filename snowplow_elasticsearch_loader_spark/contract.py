@@ -101,11 +101,11 @@ SELECT count(*) AS n_docs, round(CAST(sum(doclen) AS DOUBLE)/count(*), 6) AS avg
 # BM25 top-k, naive relational path (SURVEY E7/E8)
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    posts = P.build_postings(docs)
-    ds = P.doc_stats(docs)
-    ts = P.term_stats(posts)
-    return bm25.bm25_topk_naive(posts, ds, ts, REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG)
+    # fused single-pass plan (r6): 2 corpus passes / 1 setup job instead
+    # of 4 passes / 2 jobs; rank-identical to the relational naive path
+    return bm25.bm25_topk_fused(
+        _docs(spark, sf_dir), REFERENCE_QUERIES, k=DEFAULT_K, cfg=CFG
+    )
 
 
 def _sql_bm25_scored_cte(
@@ -2289,8 +2289,18 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import wand
 
     idx = _physical_index(spark, sf_dir)
+    qterms = sorted(
+        {t for _, t, _ in bm25.analyze_queries(REFERENCE_QUERIES)}
+    )
     return wand.wand_topk(
-        idx.blocks, idx.termdict, idx.corpus(), REFERENCE_QUERIES, k=DEFAULT_K, cfg=_IDX_CFG
+        idx.blocks,
+        idx.termdict,
+        idx.corpus(),
+        REFERENCE_QUERIES,
+        k=DEFAULT_K,
+        cfg=_IDX_CFG,
+        # local pyarrow termdict probe: no Spark job for the term lookup
+        term_rows=idx.lookup_terms(qterms),
     )
 
 
@@ -2820,12 +2830,17 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + deterministic top-k; dimension sides broadcast."""
+    """Join + agg + deterministic top-k. nation (25 rows, SF-invariant)
+    is hinted broadcast; customer scales with SF, so its join strategy
+    is left to AQE — broadcast at bench scale, shuffle join at 100x
+    (r6; the unconditional broadcast hint was VERDICT r5 wrong #2).
+    The rank<=10 window compiles to TakeOrderedAndProject via Spark's
+    WindowGroupLimit inference (plans/r06), not a global sort."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum("o_totalprice"), 6).alias("total_spent"),
@@ -2880,8 +2895,15 @@ FROM documents
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import textstats as TS
+    from .functions.analyze import tokens_col
 
-    return _docs(spark, sf_dir).select("doc_id", *TS.quality_columns())
+    # two-step projection: bind the token array once so the three
+    # token-consuming quality columns don't each re-run the regex (r6)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", tokens_col("text").alias("_toks"))
+        .select("doc_id", *TS.quality_columns(toks=F.col("_toks")))
+    )
 
 
 SQL_TEXT_QUALITY = r"""
@@ -2902,7 +2924,16 @@ FROM t
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import textstats as TS
 
-    return _docs(spark, sf_dir).select("doc_id", TS.lang_id_col().alias("lang"))
+    from .functions.analyze import tokens_col
+
+    # bind the token array once: the CASE chain references the four
+    # per-language hit counts (each a filter over the tokens) many
+    # times inside one expression tree (r6)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens_col("text").alias("_toks"))
+        .select("doc_id", TS.lang_id_col(toks=F.col("_toks")).alias("lang"))
+    )
 
 
 def _sql_lang_id() -> str:
@@ -2934,7 +2965,13 @@ SQL_LANG_ID = _sql_lang_id()
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import textstats as TS
 
-    return _docs(spark, sf_dir).select("doc_id", TS.fingerprint_col().alias("fp"))
+    # two-step projection: the window lambda must reference the BOUND
+    # norm column, not the tokenizer expression (r6; see textstats)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TS.norm_text_col().alias("_norm"))
+        .select("doc_id", TS.fingerprint_of_norm(F.col("_norm")).alias("fp"))
+    )
 
 
 SQL_FINGERPRINT = r"""

@@ -42,9 +42,16 @@ def _in_list_sql(items: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 
 
-def quality_columns(text: str = "text") -> list[Column]:
-    """n_chars, n_tokens, punct_ratio, stopword_ratio, avg_token_len."""
-    toks = tokens_col(text)
+def quality_columns(text: str = "text", toks: Column | None = None) -> list[Column]:
+    """n_chars, n_tokens, punct_ratio, stopword_ratio, avg_token_len.
+
+    Pass ``toks`` as a BOUND pre-projected token-array column on hot
+    paths: three of the five output expressions consume the token
+    array, and a Project containing interpreted higher-order lambdas
+    gets no codegen subexpression elimination, so an inlined tokenizer
+    would run its regex once per consuming expression per row (r6)."""
+    if toks is None:
+        toks = tokens_col(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     punct = F.size(F.regexp_extract_all(F.col(text), F.lit(PUNCT_PATTERN), 0))
@@ -63,10 +70,12 @@ def quality_columns(text: str = "text") -> list[Column]:
     ]
 
 
-def lang_id_col(text: str = "text") -> Column:
+def lang_id_col(text: str = "text", toks: Column | None = None) -> Column:
     """Stopword-profile language heuristic; ties resolve in LANG_PROFILES
-    order (the DuckDB twin implements the identical CASE chain)."""
-    toks = tokens_col(text)
+    order (the DuckDB twin implements the identical CASE chain).
+    ``toks``: optional bound token-array column (see quality_columns)."""
+    if toks is None:
+        toks = tokens_col(text)
 
     def _hits(words: tuple[str, ...]):
         def pred(x):
@@ -84,13 +93,27 @@ def lang_id_col(text: str = "text") -> Column:
     )
 
 
-def fingerprint_col(text: str = "text") -> Column:
-    """Winnowing-style rolling fingerprint: min md5 over all 8-char
-    windows of the analyzer-normalized text (tokens joined by space)."""
-    norm = F.array_join(tokens_col(text), " ")
+def fingerprint_of_norm(norm: Column) -> Column:
+    """Winnowing-style rolling fingerprint over a BOUND normalized-text
+    column: min md5 over all 8-char windows. ``norm`` must be a
+    projected column reference — the transform lambda is interpreted,
+    so an inlined tokenizer expression would re-run per window
+    (project the normalization in a separate select first)."""
     return F.array_min(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
             lambda i: F.md5(F.substr(norm, i, F.lit(8)).cast("binary")),
         )
     )
+
+
+def norm_text_col(text: str = "text") -> Column:
+    """Analyzer-normalized text (tokens joined by space)."""
+    return F.array_join(tokens_col(text), " ")
+
+
+def fingerprint_col(text: str = "text") -> Column:
+    """One-expression form (norm inlined into the window lambda) — kept
+    for compatibility; hot paths should project ``norm_text_col`` first
+    and apply ``fingerprint_of_norm``."""
+    return fingerprint_of_norm(norm_text_col(text))

@@ -169,6 +169,42 @@ class InvertedIndex:
         row = self._t("corpus").collect()[0]
         return int(row["n_docs"]), float(row["avgdl"])
 
+    def lookup_terms(
+        self,
+        terms: list[str],
+        cols: tuple[str, ...] = ("term", "df", "term_bucket"),
+    ) -> list[dict]:
+        """Driver-side termdict lookup for a SMALL term list (query
+        terms). Local index dirs skip Spark entirely: the termdict is a
+        few parquet files, so a pyarrow read with a term-isin filter
+        (row-group statistics prune term-sorted files tightly) answers
+        in milliseconds where the Spark filter+collect costs a whole
+        job's scheduling. Non-local paths keep the partition-pruned
+        Spark scan — at true corpus scale the dictionary lives with the
+        index, not on the driver."""
+        target = self._resolve("termdict")
+        if _is_local(target):
+            try:
+                import glob
+
+                import pyarrow.compute as pc
+                import pyarrow.dataset as pads
+
+                files = sorted(
+                    glob.glob(os.path.join(target, "**", "*.parquet"), recursive=True)
+                )
+                if files:
+                    tbl = pads.dataset(files).to_table(
+                        columns=list(cols), filter=pc.field("term").isin(terms)
+                    )
+                    return tbl.to_pylist()
+            except Exception:
+                pass
+        rows = (
+            self.termdict.filter(F.col("term").isin(terms)).select(*cols).collect()
+        )
+        return [r.asDict() for r in rows]
+
     @property
     def badrows(self) -> DataFrame:
         return self._t("_badrows")

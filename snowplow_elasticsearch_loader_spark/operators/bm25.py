@@ -191,3 +191,97 @@ def bm25_topk_naive(
     posts_q = postings.filter(F.col("term").isin(qterm_list))
     scored = score_candidates(posts_q, docstats, qterms, avgdl, cfg)
     return topk(scored, k)
+
+
+def bm25_topk_fused(
+    docs: DataFrame,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-pass naive BM25: rank-identical to ``bm25_topk_naive`` over
+    ``build_postings(docs)``/``doc_stats(docs)``/``term_stats``, in TWO
+    corpus passes instead of four.
+
+    - setup: ONE job computes (n_docs, sum doclen) and every query
+      term's df as conditional aggregates over the tokenized scan — the
+      naive path ran two jobs (corpus agg + filtered term_stats), each
+      re-tokenizing the corpus;
+    - scoring: per-doc (term, tf) entries are computed INSIDE the row
+      (array_intersect + per-term count over the token array), so the
+      postings groupBy shuffle AND the docstats join disappear — doclen
+      rides along on the same row. tf values are identical to the
+      groupBy count by construction, and the contribution expression +
+      ordered accumulation are shared with score_candidates.
+
+    The idf/avgdl literals, the contribution expression tree, and the
+    sorted-fold accumulation are byte-identical to the naive path, so
+    scores (and the k results) hash-match the existing oracle.
+    """
+    from .postings import tokenized
+
+    spark = docs.sparkSession
+    qrows = analyze_queries(queries)
+    qterm_list = sorted({t for _, t, _ in qrows})
+    tok = tokenized(docs, id_col, text_col)
+    qt_arr = F.array(*[F.lit(t) for t in qterm_list])
+    # ---- setup: one corpus pass for n_docs/avgdl + per-term df ----
+    row = tok.select(
+        "doclen", F.array_intersect("tokens", qt_arr).alias("qts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doclen").alias("s"),
+        *[
+            F.sum(F.array_contains("qts", t).cast("long")).alias(f"_df{i}")
+            for i, t in enumerate(qterm_list)
+        ],
+    ).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = float(row["s"]) / float(n_docs)
+    tdf = {
+        t: int(row[f"_df{i}"])
+        for i, t in enumerate(qterm_list)
+        if int(row[f"_df{i}"]) > 0
+    }
+    qterms = query_term_weights(spark, queries, tdf, n_docs)
+    # ---- scoring: one corpus pass, no postings shuffle, no doc join ----
+    entries = F.transform(
+        F.array_intersect("tokens", qt_arr),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("tokens"), lambda x: x == t))
+            .cast("int")
+            .alias("tf"),
+        ),
+    )
+    cand = (
+        tok.select("doc_id", "doclen", F.explode(entries).alias("e"))
+        .select("doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+        .join(F.broadcast(qterms), "term")
+    )
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    dl = quantize_doclen_col("doclen") if cfg.bm25.quantize_doclen else F.col("doclen")
+    contrib = (
+        F.col("w")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        cand.select("query_id", "doc_id", F.col("term"), contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]).alias(
+                "score"
+            ),
+        )
+    )
+    return topk(scored, k)

@@ -49,66 +49,103 @@ def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, terms): the distinct token SET as one array per row — the
+    narrow (shuffle-free) carrier for signature and Jaccard work. The
+    exploded ``distinct_tokens`` view stays for equi-join candidate
+    generation; everything per-doc (minhash, set size, intersection)
+    computes on this array instead of re-aggregating exploded rows."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens_col(text_col)).alias("terms"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}): h_i = min over distinct tokens of
     md5(i || ':' || token). Docs with zero tokens have no signature
-    (nothing to hash), matching the SQL twin's inner aggregation."""
-    tok = distinct_tokens(docs, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")).cast("binary"))).alias(f"h{i}")
+    (nothing to hash), matching the SQL twin's inner aggregation.
+
+    r6: computed per ROW (array_min over a transform of the token-set
+    array) instead of explode + groupBy-min — the min over a doc's
+    tokens never needed a shuffle, and min(string) forced the old
+    aggregation into SortAggregate (strings have no mutable hash-agg
+    buffer), costing a corpus-wide sort on both sides of an exchange.
+    Identical values: same md5 inputs, same string min."""
+    sets = token_sets(docs, id_col, text_col).filter(F.size("terms") > 0)
+    cols = [
+        F.array_min(
+            F.transform(
+                "terms",
+                lambda t: F.md5(F.concat(F.lit(f"{i}:"), t).cast("binary")),
+            )
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", *cols)
 
 
-def _jaccard_for_pairs(pairs: DataFrame, tok: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for (doc_a, doc_b) candidate pairs.
+def _pairs_in_group(ds: Column) -> Column:
+    """All (doc_a < doc_b) pairs within one SORTED doc-id array, as an
+    array of structs — the local pair expansion that replaces the
+    banding self-join (r6). Output size is bounded by the caller's
+    group-size cap (max_group / max_df), so the expansion is O(cap^2)
+    per group by construction, never corpus-quadratic."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
 
-    Each doc's term SET is aggregated once (collect_set) and joined to
-    its pairs; the intersection is a JVM array_intersect per pair. This
-    replaces the r3 shape (explode tokens onto pairs, then a groupBy
-    over pair keys) — same data movement through the two joins, but no
-    third aggregation shuffle afterwards (VERDICT r3 #5).
 
-    r5 (VERDICT r4 #3): the set aggregation runs over CANDIDATE DOCS
-    only — a semi-join of the token explode against the pairs' doc ids
-    before collect_set (AQE broadcasts the id side when it is small,
-    the common case; left unhinted so a dup-heavy corpus with a large
-    candidate set degrades to a shuffle join instead of a driver OOM).
-    Near-dup candidates are a vanishing fraction of a real corpus, so
-    building term-set arrays for every non-candidate doc was the
-    verify stage's dominant cost (and at 100 TB would materialize
-    corpus-sized arrays for rows the join immediately drops)."""
-    # pairs feeds both the id semi-join and the final pair join —
-    # persist so the candidate self-join isn't recomputed (unpersist is
-    # left to Spark's reference-tracking cleaner, the repo pattern)
-    pairs = pairs.persist()
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+def _candidates_from_groups(grouped: DataFrame, max_size: int) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from per-group doc-id
+    lists. ``grouped`` carries one row per (bucket/shingle) group with
+    a ``ds`` doc-id array; groups larger than ``max_size`` are dropped
+    (the degenerate-bucket / boilerplate cap — identical semantics to
+    the former count-filter + equi-self-join, in ONE aggregation
+    shuffle instead of cap-agg + cap-join + self-join + distinct)."""
+    return (
+        grouped.filter((F.size("ds") >= 2) & (F.size("ds") <= max_size))
+        .select(F.explode(_pairs_in_group(F.array_sort("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    sets = (
-        tok.join(cand_docs, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.collect_set("term").alias("_terms"), F.count(F.lit(1)).alias("_n"))
-    )
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for (doc_a, doc_b) candidate pairs.
+
+    ``sets`` is the NARROW (doc_id, terms-array) view (token_sets /
+    shingle sets): set size is ``size(terms)`` and the intersection is
+    a JVM array_intersect per pair — no explode, no collect_set
+    aggregation, no candidate-id semi-join (r6; the r5 shape exploded
+    tokens, semi-joined candidate ids and re-aggregated with
+    collect_set — two extra shuffles and a corpus-wide SortAggregate
+    just to rebuild the array each doc already had). The pair joins
+    stay equi-joins; AQE broadcasts the pairs side when small, and at
+    corpus scale the big ``sets`` side is scanned narrowly, never
+    shuffled."""
     return (
         pairs.join(
             sets.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("_terms").alias("_ta"),
-                F.col("_n").alias("na"),
+                F.col("terms").alias("_ta"),
+                F.size("terms").alias("na"),
             ),
             "doc_a",
         )
         .join(
             sets.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("_terms").alias("_tb"),
-                F.col("_n").alias("nb"),
+                F.col("terms").alias("_tb"),
+                F.size("terms").alias("nb"),
             ),
             "doc_b",
         )
@@ -150,10 +187,12 @@ def minhash_lsh_pairs(
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
     rows_per_band = n_hashes // bands
-    # signatures feed the bucket-size cap and both self-join sides;
-    # tokens feed the Jaccard verify three ways — persist both instead
-    # of re-hashing/re-tokenizing the corpus per reuse
-    sig = minhash_signatures(docs, n_hashes, id_col, text_col).persist()
+    # signatures are now a NARROW projection of the doc scan (r6), so
+    # re-evaluating them per use is a cheap per-row recompute — no
+    # persist, no pinned storage compounding across bench reps
+    # (VERDICT r5 wrong #5); lineage reuse costs one extra scan+md5
+    # pass instead of a cached shuffle
+    sig = minhash_signatures(docs, n_hashes, id_col, text_col)
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -166,27 +205,28 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    ok = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") <= max_group)
-        .select("band", "key")
+    # ONE aggregation shuffle gathers each band bucket's doc ids; the
+    # size cap and the pair expansion are local to the group (r6 — was
+    # cap-agg + cap-join + self-join + distinct, each re-evaluating the
+    # signature scan)
+    grouped = banded.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("ds")
     )
-    banded = banded.join(ok, ["band", "key"])
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    tok = distinct_tokens(docs, id_col, text_col).persist()
-    return _jaccard_for_pairs(cand, tok).filter(F.col("jaccard") >= threshold)
+    cand = _candidates_from_groups(grouped, max_group)
+    sets = token_sets(docs, id_col, text_col)
+    return _jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
-def _shingles_col(text_col: str, n: int) -> Column:
-    toks = tokens_col(text_col)
+def _shingles_of_tokens(toks: Column, n: int) -> Column:
+    """Distinct word-n-gram shingles of a BOUND token-array column.
+
+    ``toks`` must be a projected column reference, not the tokenizer
+    expression itself: higher-order-function lambdas are interpreted,
+    so an inlined ``regexp_extract_all`` child would re-run the regex
+    for every element_at — measured 5x on the ngram corpus (r6). The
+    callers project the token array in a separate select first (which
+    CollapseProject keeps separate, because the tokenizer expression is
+    non-cheap and multiply referenced)."""
     mk = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
@@ -194,6 +234,10 @@ def _shingles_col(text_col: str, n: int) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(mk)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _shingles_col(text_col: str, n: int) -> Column:
+    return _shingles_of_tokens(tokens_col(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -218,27 +262,22 @@ def ngram_jaccard_pairs(
     """
     if max_doc_id is not None:
         docs = docs.filter(F.col(id_col) < max_doc_id)
-    # materialize the shingle explode ONCE: it feeds the df cap, both
-    # self-join sides, and the Jaccard set sizes/intersection — six
-    # lineage reuses that would each re-tokenize the corpus otherwise
-    # (unpersist is left to Spark's reference-tracking cleaner, the
-    # standard pattern for multi-use operator intermediates)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles_col(text_col, n)).alias("term")
-    ).persist()
-    rare = (
-        sh.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("term")
-    )
-    sh_cand = sh.join(rare, "term")
-    a = sh_cand.select(F.col("doc_id").alias("doc_a"), "term")
-    b = sh_cand.select(F.col("doc_id").alias("doc_b"), "term")
-    cand = (
-        a.join(b, "term").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
-    )
-    return _jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+    # the shingle SET is a narrow per-row array (r6): the exploded view
+    # below re-derives from it cheaply per use (no persist — pinned
+    # storage compounded across bench reps, VERDICT r5 wrong #5), and
+    # the Jaccard verify consumes the array directly instead of
+    # re-aggregating exploded rows
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    ).select("doc_id", _shingles_of_tokens(F.col("_toks"), n).alias("terms"))
+    sh = sets.select("doc_id", F.explode("terms").alias("term"))
+    # ONE aggregation shuffle gathers each shingle's doc ids; the
+    # max_df boilerplate cap and the pair expansion are local to the
+    # group (r6 — was df-agg + df-join + self-join + distinct, which
+    # re-evaluated the shingle explode on every branch)
+    grouped = sh.groupBy("term").agg(F.collect_list("doc_id").alias("ds"))
+    cand = _candidates_from_groups(grouped, max_df)
+    return _jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(

@@ -43,7 +43,6 @@ from pyspark.sql.window import Window
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import codec
-from ..functions.localdf import literal_df
 from .bm25 import analyze_queries, idf as idf_fn
 
 #: block columns the BM25 evaluator needs (column pruning contract —
@@ -213,6 +212,40 @@ def _threshold(pdf, blk_docs, t_codes, w_by_code, seed_docs, k, k1, b, avgdl, _d
     return float(np.partition(scores, -k)[-k])
 
 
+def make_wand_range_evaluator(
+    queries_w: dict[str, dict[str, float]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    quantize: bool = False,
+):
+    """Per-RANGE evaluator: runs the per-query block-max evaluation for
+    every query in one group call. Query weights are driver-known and
+    ride the closure, so the block rows are scanned ONCE per range —
+    no per-query row duplication through a qterms join, and |ranges|
+    groups instead of |queries| x |ranges| (r6; the Arrow round-trip
+    per group set the stage's floor). Scores are produced by the SAME
+    per-query evaluator, so they stay bit-identical."""
+    inner = make_wand_evaluator(k, k1, b, avgdl, quantize=quantize)
+
+    def evaluate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid in sorted(queries_w):
+            wmap = queries_w[qid]
+            sub = pdf[pdf["term"].isin(wmap)]
+            if len(sub) == 0:
+                continue
+            sub = sub.copy()
+            sub["w"] = sub["term"].map(wmap)
+            frames.append(inner((qid,), sub))
+        if not frames:
+            return _empty_result()
+        return pd.concat(frames, ignore_index=True)
+
+    return evaluate
+
+
 def wand_topk(
     blocks: DataFrame,
     termdict: DataFrame,
@@ -220,8 +253,13 @@ def wand_topk(
     queries: list[tuple[str, str]],
     k: int = 10,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    term_rows: list[dict] | None = None,
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) — rank-identical to bm25_topk_naive."""
+    """(query_id, rank, doc_id, score) — rank-identical to bm25_topk_naive.
+
+    ``term_rows`` — pre-looked-up ``{term, df, term_bucket}`` dicts for
+    the query terms (e.g. ``InvertedIndex.lookup_terms``): skips the
+    per-call Spark filter+collect job over the term dictionary."""
     from ..shipping import ensure_shipped
 
     spark = blocks.sparkSession
@@ -231,9 +269,14 @@ def wand_topk(
     terms = sorted({t for _, t, _ in qrows})
     # driver-side term lookup (tiny): df + bucket per query term
     td = (
-        termdict.filter(F.col("term").isin(terms))
-        .select("term", "df", "term_bucket")
-        .collect()
+        term_rows
+        if term_rows is not None
+        else [
+            r.asDict()
+            for r in termdict.filter(F.col("term").isin(terms))
+            .select("term", "df", "term_bucket")
+            .collect()
+        ]
     )
     df_map = {r["term"]: int(r["df"]) for r in td}
     buckets = sorted({int(r["term_bucket"]) for r in td})
@@ -247,26 +290,18 @@ def wand_topk(
         return empty.select(
             "query_id", F.lit(1).alias("rank"), "doc_id", "score"
         ).limit(0)
-    qterms = literal_df(
-        spark,
-        qterm_rows,
-        T.StructType(
-            [
-                T.StructField("query_id", T.StringType()),
-                T.StructField("term", T.StringType()),
-                T.StructField("w", T.DoubleType()),
-            ]
-        ),
-    )
+    queries_w: dict[str, dict[str, float]] = {}
+    for qid, t, w in qterm_rows:
+        queries_w.setdefault(qid, {})[t] = w
     cand = (
         blocks.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin([t for t in terms if t in df_map]))  # pushdown
         .select(*WAND_INPUT_COLS)  # prune: no positions/metadata bytes cross Arrow
-        .join(F.broadcast(qterms), "term")
     )
-    per_range = cand.groupBy("query_id", "range_id").applyInPandas(
-        make_wand_evaluator(
-            k, cfg.bm25.k1, cfg.bm25.b, avgdl, quantize=cfg.bm25.quantize_doclen
+    per_range = cand.groupBy("range_id").applyInPandas(
+        make_wand_range_evaluator(
+            queries_w, k, cfg.bm25.k1, cfg.bm25.b, avgdl,
+            quantize=cfg.bm25.quantize_doclen,
         ),
         schema=RESULT_SCHEMA,
     )
