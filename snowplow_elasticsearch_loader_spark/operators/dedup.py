@@ -391,28 +391,36 @@ def simhash_signatures(
     """(doc_id, simhash): bits-length '0'/'1' string. Bit j of a token =
     bit (j%4) of hex digit j/4 of md5(token); doc bit j = majority vote
     over distinct tokens (>=0 -> '1'). 60 bits = 15 hex digits, kept
-    within exact int range of both engines."""
-    tok = distinct_tokens(docs, id_col, text_col).withColumn("mh", F.md5(F.col("term").cast("binary")))
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    bitted = tok.select("doc_id", "mh", j).select(
+    within exact int range of both engines.
+
+    r6: fully per-row — each doc hashes its distinct tokens once into
+    an md5 array, and the 60 bit votes are per-row aggregates over that
+    array. The old shape exploded tokens x 60 bit rows through TWO
+    corpus-wide shuffles (votes groupBy, then signature re-assembly);
+    a per-doc majority vote never needed either. Values are identical:
+    same md5 bit extraction, same >=0 vote rule, same bit order."""
+    assert bits % 4 == 0, "bits must cover whole hex digits"
+    sets = token_sets(docs, id_col, text_col).filter(F.size("terms") > 0)
+    mhs = sets.select(
         "doc_id",
-        "j",
-        F.expr(
-            "CAST(floor((instr('0123456789abcdef', substring(mh, CAST(floor(j/4) AS INT)+1, 1)) - 1)"
-            " / power(2, j % 4)) AS INT) % 2 AS bit"
-        ),
+        F.transform("terms", lambda t: F.md5(t.cast("binary"))).alias("_mhs"),
     )
-    votes = bitted.groupBy("doc_id", "j").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
-    ch = F.when(F.col("v") >= 0, F.lit("1")).otherwise(F.lit("0"))
-    return (
-        votes.select("doc_id", "j", ch.alias("ch"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "ch"))), lambda x: x["ch"]
-                ),
-                "",
-            ).alias("simhash")
-        )
+    # ONE pass over the hash array: each token hash expands its first
+    # bits/4 hex digits (15 substring+instr probes, not 60) into a
+    # bits-length 0/1 vector — bit j of digit v is (v div 2^(j%4)) % 2,
+    # integer-exact and identical to the exploded form's
+    # floor(v / power(2, j%4)) % 2 for v in [0, 15] — and zip_with
+    # accumulates the +/-1 votes; the finish lambda renders the '0'/'1'
+    # string. No shuffle, no per-bit re-scan of the array.
+    digits = bits // 4
+    sig = F.expr(
+        "aggregate(_mhs, "
+        f"array_repeat(0L, {bits}), "
+        "(acc, x) -> zip_with(acc, "
+        f"flatten(transform(transform(sequence(0, {digits - 1}), "
+        "d -> instr('0123456789abcdef', substring(x, d + 1, 1)) - 1), "
+        "v -> array(v % 2, (v div 2) % 2, (v div 4) % 2, (v div 8) % 2))), "
+        "(a, b) -> a + CAST(2 * b - 1 AS BIGINT)), "
+        "acc -> array_join(transform(acc, v -> if(v >= 0, '1', '0')), ''))"
     )
+    return mhs.select("doc_id", sig.alias("simhash"))

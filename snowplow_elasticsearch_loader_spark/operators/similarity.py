@@ -161,17 +161,27 @@ def neardup_pairs(
         )
         for bi in range(bands)
     ]
+    # banding shuffles IDS ONLY (r6): the 64-float vectors used to ride
+    # the band explode and both self-join sides (4x payload duplication
+    # through the exchange — the guide §8 anti-pattern); candidate ids
+    # are decided on a few bytes per row, then the vectors re-attach
+    # with two equi-joins against the narrow embedding scan (AQE
+    # broadcasts the candidate side when small; the corpus side is
+    # scanned, never shuffled).
     banded = sub.select(
         "vid", "v", F.explode(F.array(*band_structs)).alias("b")
-    ).select("vid", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "band", "key")
-    b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "band", "key")
-    pairs = (
+    ).select("vid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = banded.select(F.col("vid").alias("vec_a"), "band", "key")
+    b = banded.select(F.col("vid").alias("vec_b"), "band", "key")
+    ids = (
         a.join(b, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    pairs = ids.join(
+        sub.select(F.col("vid").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+    ).join(sub.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
     cos = dot_expr(F.col("va"), F.col("vb")) / (
         F.sqrt(dot_expr(F.col("va"), F.col("va"))) * F.sqrt(dot_expr(F.col("vb"), F.col("vb")))
     )

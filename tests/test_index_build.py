@@ -372,3 +372,67 @@ def test_driver_gather_pyarrow_matches_spark_scan(spark, idx):
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
     )
     assert rkey(engine.search(QUERIES, k=10).collect()) == rkey(fast.collect())
+
+
+def test_query_engine_warm_cap_never_collects_full_dictionary(
+    spark, idx, monkeypatch
+):
+    """r6 optimization guard (VERDICT r5 wrong #3): above the warm-init
+    term cap, QueryEngine must stay in filtered-lookup mode — no
+    full-dictionary collect — and answer identically."""
+    from snowplow_elasticsearch_loader_spark.operators import query_engine as QE
+
+    ref = QE.QueryEngine(idx, CFG, warm=True)
+    assert ref._term_cache is not None  # under the cap: warm collect ran
+    monkeypatch.setenv("SPARK_GRAFT_WARM_MAX_TERMS", "1")
+
+    def _boom(*a, **kw):  # any full-dictionary collect would call this
+        raise AssertionError("full termdict collect ran despite cap")
+
+    monkeypatch.setattr(idx.termdict.__class__, "collect", _boom, raising=True)
+    capped = QE.QueryEngine(idx, CFG, warm=True)
+    assert capped._term_cache is None
+    monkeypatch.undo()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(capped.search(QUERIES, k=10).collect()) == key(
+        ref.search(QUERIES, k=10).collect()
+    )
+
+
+def test_bm25_fused_equals_naive(spark, idx):
+    """The r6 single-pass fused plan is rank- and score-identical to the
+    relational naive path on the same documents."""
+    naive = bm25.bm25_topk_naive(
+        build_postings(idx.documents),
+        doc_stats(idx.documents),
+        term_stats(build_postings(idx.documents)),
+        QUERIES,
+        k=10,
+        cfg=CFG,
+    )
+    fused = bm25.bm25_topk_fused(idx.documents, QUERIES, k=10, cfg=CFG)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(fused.collect()) == key(naive.collect())
+
+
+def test_lookup_terms_matches_spark_filter(idx):
+    """Local pyarrow termdict probe returns the same rows as the Spark
+    filtered collect (r6 wand/query-path optimization)."""
+    import random
+
+    all_terms = [r["term"] for r in idx.termdict.select("term").collect()]
+    random.seed(7)
+    probe = sorted(random.sample(all_terms, min(5, len(all_terms)))) + ["zz-absent"]
+    got = sorted(
+        (r["term"], int(r["df"]), int(r["term_bucket"]))
+        for r in idx.lookup_terms(probe)
+    )
+    want = sorted(
+        (r["term"], int(r["df"]), int(r["term_bucket"]))
+        for r in idx.termdict.filter(F.col("term").isin(probe))
+        .select("term", "df", "term_bucket")
+        .collect()
+    )
+    assert got == want and len(got) > 0

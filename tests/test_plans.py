@@ -27,7 +27,10 @@ def test_bm25_naive_broadcasts_query_terms(spark, sf_tiny):
 def test_wand_scan_prunes_partitions_and_pushes_terms(spark, sf_tiny):
     df = C.SPARK_QUERIES["q_bm25_topk_wand"](spark, sf_tiny)
     assert_in_plan(df, "PartitionFilters: [term_bucket", "In(term, [")
-    assert_in_plan(df, "BroadcastHashJoin", "WindowGroupLimit")
+    # r6: query weights ride the evaluator closure — ONE Arrow group
+    # stage per range, no qterms broadcast join in the plan at all
+    assert_in_plan(df, "FlatMapGroupsInPandas", "WindowGroupLimit")
+    assert_not_in_plan(df, "BroadcastHashJoin")
 
 
 def test_postings_single_exchange(spark, sf_tiny):
