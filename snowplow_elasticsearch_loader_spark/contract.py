@@ -2024,9 +2024,13 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text containment is equivalent to token-sequence adjacency."""
     from .operators.phrase import phrase_topk
 
+    from .functions.analyze import tokenize_text as _tok
+
     idx = _physical_index(spark, sf_dir)
+    pterms = sorted({t for _, q in PHRASE_QUERIES for t in _tok(q)})
     return phrase_topk(
-        idx.blocks, idx.termdict, idx.corpus(), PHRASE_QUERIES, k=DEFAULT_K, cfg=_IDX_CFG
+        idx.blocks, idx.termdict, idx.corpus(), PHRASE_QUERIES, k=DEFAULT_K,
+        cfg=_IDX_CFG, term_rows=idx.lookup_terms(pterms),
     )
 
 

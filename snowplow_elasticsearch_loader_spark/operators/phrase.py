@@ -31,7 +31,6 @@ from pyspark.sql.window import Window
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import codec
-from ..functions.localdf import literal_df
 from ..functions.analyze import tokenize_text
 from .bm25 import idf as idf_fn
 from .index_build import decode_positions
@@ -130,6 +129,40 @@ def make_phrase_evaluator(k: int, k1: float, b: float, avgdl: float, m_by_query:
     return evaluate
 
 
+def make_phrase_range_evaluator(
+    queries_spec: dict[str, dict],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Per-RANGE phrase evaluator: query weights/offsets are driver-known
+    and ride the closure (``queries_spec[qid] = {"m": ..., "terms":
+    {term: (w, offsets)}}``), so block rows cross the Arrow boundary
+    once per range with no qterms broadcast join and no per-query row
+    duplication — the same r6 restructure as the WAND path. Scores come
+    from the unchanged per-query evaluator, so they stay bit-identical."""
+
+    def evaluate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid in sorted(queries_spec):
+            spec = queries_spec[qid]
+            terms_q = spec["terms"]
+            sub = pdf[pdf["term"].isin(terms_q)]
+            if len(sub) == 0:
+                continue
+            sub = sub.copy()
+            sub["w"] = sub["term"].map({t: wo[0] for t, wo in terms_q.items()})
+            sub["offsets"] = sub["term"].map({t: wo[1] for t, wo in terms_q.items()})
+            inner = make_phrase_evaluator(k, k1, b, avgdl, {qid: spec["m"]})
+            frames.append(inner((qid,), sub))
+        if not frames:
+            return _empty_result()
+        return pd.concat(frames, ignore_index=True)
+
+    return evaluate
+
+
 def phrase_topk(
     blocks: DataFrame,
     termdict: DataFrame,
@@ -137,9 +170,14 @@ def phrase_topk(
     queries: list[tuple[str, str]],
     k: int = 10,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    term_rows: list[dict] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): docs containing the analyzed
-    phrase contiguously, ranked by BM25 over the phrase's terms."""
+    phrase contiguously, ranked by BM25 over the phrase's terms.
+
+    ``term_rows`` — pre-looked-up ``{term, df, term_bucket}`` dicts
+    (``InvertedIndex.lookup_terms``): skips the per-call termdict
+    filter+collect Spark job."""
     from ..shipping import ensure_shipped
 
     spark = blocks.sparkSession
@@ -148,9 +186,14 @@ def phrase_topk(
     analyzed = {qid: tokenize_text(qtext) for qid, qtext in queries}
     all_terms = sorted({t for toks in analyzed.values() for t in toks})
     td = (
-        termdict.filter(F.col("term").isin(all_terms))
-        .select("term", "df", "term_bucket")
-        .collect()
+        term_rows
+        if term_rows is not None
+        else [
+            r.asDict()
+            for r in termdict.filter(F.col("term").isin(all_terms))
+            .select("term", "df", "term_bucket")
+            .collect()
+        ]
     )
     df_map = {r["term"]: int(r["df"]) for r in td}
     bucket_map = {r["term"]: int(r["term_bucket"]) for r in td}
@@ -174,27 +217,21 @@ def phrase_topk(
     ).limit(0)
     if not qrows:
         return empty
-    qterms = literal_df(
-        spark,
-        qrows,
-        T.StructType(
-            [
-                T.StructField("query_id", T.StringType()),
-                T.StructField("term", T.StringType()),
-                T.StructField("w", T.DoubleType()),
-                T.StructField("offsets", T.ArrayType(T.IntegerType())),
-            ]
-        ),
-    )
+    queries_spec: dict[str, dict] = {}
+    for qid, t, w, offs in qrows:
+        queries_spec.setdefault(qid, {"m": m_by_query[qid], "terms": {}})[
+            "terms"
+        ][t] = (w, offs)
     buckets = sorted({bucket_map[t] for t in live_terms})
     cand = (
         blocks.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(sorted(live_terms)))  # pushdown
         .select(*PHRASE_INPUT_COLS)
-        .join(F.broadcast(qterms), "term")
     )
-    per_range = cand.groupBy("query_id", "range_id").applyInPandas(
-        make_phrase_evaluator(k, cfg.bm25.k1, cfg.bm25.b, avgdl, m_by_query),
+    per_range = cand.groupBy("range_id").applyInPandas(
+        make_phrase_range_evaluator(
+            queries_spec, k, cfg.bm25.k1, cfg.bm25.b, avgdl
+        ),
         schema=RESULT_SCHEMA,
     )
     ranked = per_range.select(

@@ -437,8 +437,15 @@ class QueryEngine:
     def search_phrase(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """match_phrase over the positional index (same warm-session
         amortization; one Spark job per call)."""
+        from ..functions.analyze import tokenize_text
         from .phrase import phrase_topk
 
+        terms = sorted({t for _, q in queries for t in tokenize_text(q)})
+        tmap = self._lookup(terms)
+        term_rows = [
+            {"term": t, "df": v[0], "term_bucket": v[1]} for t, v in tmap.items()
+        ]
         return phrase_topk(
-            self.blocks, self.idx.termdict, (self.n_docs, self.avgdl), queries, k, self.cfg
+            self.blocks, self.idx.termdict, (self.n_docs, self.avgdl), queries,
+            k, self.cfg, term_rows=term_rows,
         )

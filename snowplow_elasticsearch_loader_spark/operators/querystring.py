@@ -204,8 +204,14 @@ def match_phrase_prefix_counts(
 
     ``queries`` rows are (query_id, exact_tokens, prefix).
     """
-    tk = tokens_col("text")
-    out = None
+    # ONE corpus scan, tokens bound once (r6): the filter lambda used to
+    # inline the tokenizer expression, re-running the regex per
+    # candidate position per row, and each query was its own corpus
+    # scan unioned at the end — now every query's count is an entry of
+    # one per-row array, exploded and filtered.
+    tokd = docs.select("doc_id", tokens_col("text").alias("_tk"))
+    tk = F.col("_tk")
+
     def _make_pred(phrase_toks, prefix, m):
         def _pred(i):
             c = F.lit(True)
@@ -215,19 +221,21 @@ def match_phrase_prefix_counts(
 
         return _pred
 
+    entries = []
     for qid, phrase_toks, prefix in queries:
         m = len(phrase_toks)
         _pred = _make_pred(phrase_toks, prefix, m)
-
         cnt = (
             F.when(F.size(tk) <= m, F.lit(0))
             .otherwise(F.size(F.filter(F.sequence(F.lit(1), F.size(tk) - m), _pred)))
             .cast("long")
         )
-        one = docs.select(
-            F.lit(qid).alias("query_id"), "doc_id", cnt.alias("score")
-        ).filter(F.col("score") > 0)
-        out = one if out is None else out.unionByName(one)
+        entries.append(F.struct(F.lit(qid).alias("query_id"), cnt.alias("score")))
+    out = (
+        tokd.select("doc_id", F.explode(F.array(*entries)).alias("_e"))
+        .select(F.col("_e.query_id").alias("query_id"), "doc_id", F.col("_e.score").alias("score"))
+        .filter(F.col("score") > 0)
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -78,7 +78,10 @@ def test_phrase_scan_is_pruned_and_never_rescans_corpus(spark, sf_tiny):
     from snowplow_elasticsearch_loader_spark.plans import formatted_plan
 
     df = C.SPARK_QUERIES["q_phrase_topk"](spark, sf_tiny)
-    assert_in_plan(df, "PartitionFilters: [term_bucket", "BroadcastHashJoin")
+    # r6: query weights/offsets ride the evaluator closure — one Arrow
+    # group stage per range, no qterms broadcast join in the plan
+    assert_in_plan(df, "PartitionFilters: [term_bucket", "FlatMapGroupsInPandas")
+    assert_not_in_plan(df, "BroadcastHashJoin")
     plan = formatted_plan(df)
     assert "documents" not in plan, plan[:3000]
 
