@@ -28,6 +28,7 @@ any parallelism level, no global shuffle to one task, all JVM-side.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
@@ -37,6 +38,13 @@ from pyspark.sql.window import Window
 
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.analyze import tokens_col
+
+#: minimum rows per ranking bucket in ``assign_doc_ids``'s sampled
+#: (non-footer) path — scale-adaptive parallelism (guide §2.2/§2.4):
+#: inputs below ~20k rows/bucket never benefit from the 4x-cores bucket
+#: fan-out and pay its per-task scheduling overhead instead. Ranks are
+#: bucket-invariant, so this knob can never change output values.
+_RANK_ROWS_PER_BUCKET = int(os.environ.get("SPARK_GRAFT_RANK_ROWS_PER_BUCKET", "20000"))
 
 BADROW_SCHEMA = T.StructType(
     [
@@ -308,6 +316,43 @@ def _footer_cuts(df: DataFrame, num_ranges: int) -> list[str] | None:
     return cuts
 
 
+def footer_row_count(df: DataFrame) -> int | None:
+    """Total row count of a BARE parquet scan from its file footers — a
+    driver-side metadata read, no Spark job. Returns None for derived
+    plans (joins hand back the other side's files too — same guard as
+    ``_footer_cuts``) or non-local/non-parquet sources. Callers use it
+    as an UPPER bound to size ``assign_doc_ids``'s boundary sample
+    (downstream filters only shrink the input; bounds only affect
+    sample sizing and bucket count, never ranks)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if "Join" in node.nodeName():
+                return None
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(
+        f.endswith(".parquet") and (f.startswith("file:") or f.startswith("/"))
+        for f in files
+    ):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _steer_tokens(spark, nb: int) -> list[int] | None:
     """bucket -> integer steering token such that Spark's hash
     partitioner maps each token to a DISTINCT partition of nb.
@@ -406,6 +451,7 @@ def assign_doc_ids(
     it when #buckets grows past a few thousand).
     """
     spark = transcripts.sparkSession
+    ranges_defaulted = num_ranges is None
     if num_ranges is None:
         # well past the core count: the per-bucket rank window is the
         # build's only corpus-wide sort, and with num_ranges == cores it
@@ -416,19 +462,37 @@ def assign_doc_ids(
     df = transcripts.withColumn("_key", _rank_key_col())
     cuts = _footer_cuts(transcripts, num_ranges)
     if cuts is None:
-        # n only sizes the boundary sample; callers that already know
-        # the row count (e.g. from a write Observation) pass it to
-        # avoid a driver-synchronized count() job (Amdahl at build time)
+        # n only sizes the boundary sample (and the bucket cap below);
+        # callers that already know the row count — or an UPPER bound
+        # on it, e.g. a parquet-footer total before filters — pass it
+        # to avoid a driver-synchronized count() job (Amdahl at build
+        # time). Over-estimates only make the sample/fan-out richer,
+        # never change ranks.
         n = n_rows if n_rows is not None else df.count()
         if n == 0:
             return transcripts.withColumn("doc_id", F.lit(None).cast("long"))
-        frac = min(1.0, (40.0 * num_ranges) / float(n))
-        sample = sorted(
-            r["_key"] for r in df.select("_key").sample(frac, seed=seed).collect()
-        )
-        cuts = sorted(
-            {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
-        ) if sample else []
+        # Ranks are invariant to the boundary choice, so bucket count is
+        # parallelism only — and a small input (a streaming micro-batch,
+        # a single-file contract corpus) pays ~num_ranges near-empty
+        # tasks per stage in pure scheduling overhead, then writes
+        # num_ranges tiny files. When the caller left num_ranges to us,
+        # cap buckets so each holds at least _RANK_ROWS_PER_BUCKET rows;
+        # explicit callers keep exactly what they asked for. Large
+        # inputs keep the full 4x-cores fan-out (5.76M turns / 20k >>
+        # 128 locally), so the big-build path is numerically AND
+        # structurally unchanged.
+        if ranges_defaulted:
+            num_ranges = max(1, min(num_ranges, n // _RANK_ROWS_PER_BUCKET or 1))
+        if num_ranges > 1:
+            frac = min(1.0, (40.0 * num_ranges) / float(n))
+            sample = sorted(
+                r["_key"] for r in df.select("_key").sample(frac, seed=seed).collect()
+            )
+            cuts = sorted(
+                {sample[int(len(sample) * i / num_ranges)] for i in range(1, num_ranges)}
+            ) if sample else []
+        else:
+            cuts = []
 
     if cuts:
         blit = F.array(*[F.lit(c) for c in cuts])
@@ -448,23 +512,35 @@ def assign_doc_ids(
     # the tiny duplicate-keys window after the id join instead.
     keys = bucketed.groupBy("_bucket", "_key").agg(
         F.count(F.lit(1)).alias("_n")
-    ).persist()
+    )
 
-    counts = keys.groupBy("_bucket").agg(
-        (F.count(F.lit(1)) if dedup else F.sum("_n")).alias("n")
-    ).collect()
-    if not counts:
-        # zero rows (e.g. every row of a redelivered micro-batch was
-        # anti-joined away): create_map() with no entries is untyped
-        # and fails analysis, so short-circuit to an empty result
-        return transcripts.filter(F.lit(False)).withColumn(
-            "doc_id", F.lit(None).cast("long")
-        )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_bucket"]):
-        offsets[int(row["_bucket"])] = acc
-        acc += int(row["n"])
+    if cuts:
+        # keys feeds two consumers (the counts job and the rank pass):
+        # pin it for the duration of the call
+        keys = keys.persist()
+        counts = keys.groupBy("_bucket").agg(
+            (F.count(F.lit(1)) if dedup else F.sum("_n")).alias("n")
+        ).collect()
+        if not counts:
+            # zero rows (e.g. every row of a redelivered micro-batch was
+            # anti-joined away): create_map() with no entries is untyped
+            # and fails analysis, so short-circuit to an empty result
+            return transcripts.filter(F.lit(False)).withColumn(
+                "doc_id", F.lit(None).cast("long")
+            )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for row in sorted(counts, key=lambda r: r["_bucket"]):
+            offsets[int(row["_bucket"])] = acc
+            acc += int(row["n"])
+    else:
+        # single bucket: the counts job's only consumer is the offset
+        # table, and a lone bucket's offset is 0 by definition — skip
+        # the driver-synchronized job AND the persist (keys now has
+        # exactly one consumer). An empty input flows through to an
+        # empty result with the same (base_cols + doc_id) schema the
+        # zero-rows short-circuit above produces.
+        offsets = {0: 0}
     off_map = F.create_map(
         *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
     )

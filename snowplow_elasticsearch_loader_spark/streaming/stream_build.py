@@ -39,7 +39,7 @@ from ..index_store import (
     resolve_table_dir,
 )
 from ..operators import index_build
-from ..operators.docs import assign_doc_ids, split_good_bad
+from ..operators.docs import assign_doc_ids, footer_row_count, split_good_bad
 from ..operators.postings import doc_stats
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
@@ -216,7 +216,12 @@ def process_stream_batch(
     seg = F.lit(batch_id).alias("batch_seg")
     dyn = {"partitionOverwriteMode": "dynamic"}
 
-    with_ids = assign_doc_ids(good, dedup=True)
+    # raw batch size from the micro-batch scan's parquet footers
+    # (driver-side metadata, no Spark job): an upper bound on good's
+    # rows — split/anti-join only shrink — which is all assign_doc_ids
+    # uses n for (boundary-sample sizing + bucket cap, never ranks).
+    # Skips one driver-synchronized count() job per micro-batch.
+    with_ids = assign_doc_ids(good, dedup=True, n_rows=footer_row_count(batch_df))
     docs = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
     docs_out = docs.select(
         "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
@@ -231,15 +236,22 @@ def process_stream_batch(
     ).parquet(os.path.join(index_dir, "_badrows"))
     # this batch's rows only: partition-pruned read, O(batch) not O(corpus)
     docs_w = spark.read.parquet(docs_dir).filter(F.col("batch_seg") == batch_id)
-    doc_stats(docs_w).select("*", seg).write.mode("overwrite").options(**dyn).partitionBy(
+    # batch (n, sum_dl) observed on the docstats write itself — one job
+    # instead of write + read-back-aggregate. Equal to the read-back by
+    # construction: docstats partitions by batch_seg alone, so this
+    # dynamic overwrite replaces the batch's whole partition and the
+    # committed rows ARE the observed rows (replay included — the probe
+    # excludes the batch's own segment, so a replay recomputes the same
+    # rows a crashed attempt wrote).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stream-docstats-{batch_id}")
+    doc_stats(docs_w).select("*", seg).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+    ).write.mode("overwrite").options(**dyn).partitionBy(
         "batch_seg"
     ).parquet(resolve_table_dir(index_dir, "docstats"))
-    row = (
-        spark.read.parquet(resolve_table_dir(index_dir, "docstats"))
-        .filter(F.col("batch_seg") == batch_id)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s"))
-        .collect()[0]
-    )
+    row = obs.get
     n_batch, sum_batch = int(row["n"] or 0), int(row["s"] or 0)
     n_after = int(base["n_docs"]) + n_batch
     sum_after = int(base["sum_dl"]) + sum_batch

@@ -436,3 +436,26 @@ def test_lookup_terms_matches_spark_filter(idx):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_doc_id_adaptive_ranges_identical_ids(spark, monkeypatch):
+    """r6 optimization internals: when num_ranges is left to its
+    default, the sampled (non-footer) path caps the bucket fan-out by
+    input size (_RANK_ROWS_PER_BUCKET). Ranks are bucket-invariant, so
+    the adaptive default must assign ids identical to any explicit
+    bucket count — single-bucket (tiny input) and multi-bucket
+    (monkeypatched threshold) alike."""
+    from snowplow_elasticsearch_loader_spark.operators import docs as docs_mod
+
+    tr = synth_transcripts(spark, n_convs=30, seed=7, with_anomalies=False)
+    cols = ["conv_id", "turn_idx", "doc_id"]
+    explicit = assign_doc_ids(tr, num_ranges=8).select(*cols)
+    # tiny input + defaulted num_ranges -> the cap collapses to 1 bucket
+    adaptive1 = assign_doc_ids(tr).select(*cols)
+    assert explicit.exceptAll(adaptive1).count() == 0
+    assert adaptive1.exceptAll(explicit).count() == 0
+    # force the default path to keep a multi-bucket fan-out
+    monkeypatch.setattr(docs_mod, "_RANK_ROWS_PER_BUCKET", 2)
+    adaptive_many = assign_doc_ids(tr).select(*cols)
+    assert explicit.exceptAll(adaptive_many).count() == 0
+    assert adaptive_many.exceptAll(explicit).count() == 0

@@ -665,3 +665,36 @@ def test_multimodal_malformed_payload_quarantined(spark):
     # frame sampling skips the malformed video rows, keeps the good one
     frames = MM.sample_frames(assets, every=2).collect()
     assert frames and {r["asset_id"] for r in frames} == {3}
+
+
+def test_stream_state_matches_docstats_readback(spark):
+    """r6 optimization internals: the per-batch (n, sum_dl) bookkeeping
+    now comes from an Observation on the docstats write itself (one job,
+    no read-back aggregate). The control state must still equal what a
+    read-back of the committed docstats table reports — the invariant
+    the old read-back code enforced by construction."""
+    import json
+    import os
+
+    from snowplow_elasticsearch_loader_spark.index_store import resolve_table_dir
+
+    in_dir = tempfile.mkdtemp(prefix="obs-in-")
+    idx_dir = tempfile.mkdtemp(prefix="obs-idx-")
+    cp_dir = tempfile.mkdtemp(prefix="obs-cp-")
+    try:
+        tr = synth_transcripts(spark, n_convs=8, seed=11, with_anomalies=False)
+        a = tr.filter(F.col("conv_id") < "conv-00000004")
+        b = tr.filter(F.col("conv_id") >= "conv-00000004")
+        _flat_stream_files(in_dir, [a, b])
+        incremental_index_build(spark, in_dir, idx_dir, cp_dir, SCFG, available_now=True)
+        with open(os.path.join(idx_dir, "_stream_state.json")) as fh:
+            state = json.load(fh)
+        ds = spark.read.parquet(resolve_table_dir(idx_dir, "docstats"))
+        row = ds.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+        ).collect()[0]
+        assert int(state["after"]["n_docs"]) == int(row["n"])
+        assert int(state["after"]["sum_dl"]) == int(row["s"])
+    finally:
+        for d in (in_dir, idx_dir, cp_dir):
+            shutil.rmtree(d, ignore_errors=True)
